@@ -1,0 +1,176 @@
+"""Deterministic synthetic web-page corpus (the engine's canonical input).
+
+Builds the input_hint table ``(url, warc_ts, html:binary, text, lang)``
+(BASELINE.json:15) from the driver's ``documents`` parquet
+(doc_id, text, lang, source, n_chars) — no external data, seedless and
+fully deterministic so the same row is produced on every run and on every
+engine (the DuckDB oracle re-derives the expected output with plain SQL).
+
+Payload synthesis mirrors the two payload families of the reference:
+- **HTML rows** (80%): the document text is split into up to 3 paragraphs
+  and wrapped in a boilerplate-rich page (nav / aside / share-bar / footer,
+  all high link-density) — the extraction stage must strip the boilerplate
+  and recover the paragraphs byte-identically.
+- **layout rows** (20%, ``doc_id % 5 == 4``): a JSON token stream shaped
+  like a Document-AI response (reference ML/google_documentai/results/*.json:
+  flat ``text`` + tokens carrying startIndex/endIndex spans + bbox +
+  confidence) standing in for image/PDF OCR payloads.
+
+Determinism contract (shared with the DuckDB oracle — keep in sync with
+__spark_entry__.oracle_sql):
+- url     = 'https://host-' || (doc_id%10==0 ? 'hot' : doc_id%20)
+            || '.example.org/doc/' || lpad(doc_id, 6, '0')
+  (~10% rows share the hot host to exercise salting, FIXTURES.md §1)
+- warc_ts = timestamp '2024-01-01 00:00:00' + doc_id seconds
+- paragraph split: words = split(text,' '); n<3 → 1 para, else cut at
+  ceil(n/3) and ceil(2n/3); extracted text = paras joined by '\\n'.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import json
+import math
+from collections.abc import Iterator
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import WEB_PAGES
+
+EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+_HTML_TEMPLATE = (
+    "<html><head><title>Doc {doc_id}</title>"
+    "<style>body{{margin:0;font:14px sans-serif}}</style>"
+    "<script>var page={doc_id};trackPageView(page);</script></head>\n"
+    "<body>\n"
+    "<header><h1>Document {doc_id}</h1></header>\n"
+    '<nav><ul><li><a href="/">Home</a></li><li><a href="/archive">Archive'
+    '</a></li><li><a href="/about">About</a></li></ul></nav>\n'
+    '<div class="content">\n{paras}\n</div>\n'
+    '<aside><a href="/ad1">Sponsored link one</a>'
+    '<a href="/ad2">Sponsored link two</a></aside>\n'
+    '<div class="share"><a href="#">Share</a> <a href="#">Tweet</a> '
+    '<a href="#">Pin</a></div>\n'
+    '<footer><p><a href="/privacy">Privacy</a> &middot; '
+    '<a href="/terms">Terms</a> &middot; &copy; Example Corp</p></footer>\n'
+    "</body></html>"
+)
+
+
+def page_url(doc_id: int) -> str:
+    host = "hot" if doc_id % 10 == 0 else str(doc_id % 20)
+    return f"https://host-{host}.example.org/doc/{doc_id:06d}"
+
+
+def split_paragraphs(text: str) -> list[str]:
+    """Deterministic ≤3-way paragraph split on word boundaries.
+
+    Mirrors the oracle SQL exactly: cut points ceil(n/3), ceil(2n/3).
+    """
+    if text is None:
+        return [""]
+    words = text.split(" ")
+    n = len(words)
+    if n < 3:
+        return [text]
+    c1 = math.ceil(n / 3)
+    c2 = math.ceil(2 * n / 3)
+    return [" ".join(words[0:c1]), " ".join(words[c1:c2]), " ".join(words[c2:n])]
+
+
+def expected_text(text: str) -> str:
+    """The byte-exact extraction target for a document's raw text."""
+    return "\n".join(split_paragraphs(text))
+
+
+def token_confidence(word: str, idx: int) -> float:
+    """Deterministic pseudo-confidence straddling the 0.70/0.85 gates
+    (FIXTURES.md §2); reproducible in SQL: ((len*37 + idx*13) % 101)/100.
+    """
+    return ((len(word) * 37 + idx * 13) % 101) / 100.0
+
+
+def is_layout_doc(doc_id: int) -> bool:
+    return doc_id % 5 == 4
+
+
+def render_html(doc_id: int, text: str) -> bytes:
+    paras = "\n".join(
+        f"<p>{_html.escape(p)}</p>" for p in split_paragraphs(text)
+    )
+    return _HTML_TEMPLATE.format(doc_id=doc_id, paras=paras).encode("utf-8")
+
+
+def render_layout(doc_id: int, text: str) -> bytes:
+    """Document-AI-shaped JSON payload: flat ``text`` + per-word spans.
+
+    Shape per reference ML/google_documentai/run_docai.py:84-93 (textAnchor
+    textSegments into document.text) and the sample result JSON: one block
+    per paragraph, one paragraph per block, words with [start,end) spans,
+    quad bbox, confidence.
+    """
+    paras = split_paragraphs(text)
+    full = "\n".join(paras)
+    blocks = []
+    offset = 0
+    widx = 0
+    for b, para in enumerate(paras):
+        words = []
+        y = b * 24
+        x = 0
+        for w in para.split(" ") if para else []:
+            # sequential scan: words appear in order, so find from cursor
+            # (same monotone-cursor idiom as the reference's word→line scan,
+            # run_gvision_ocr.py:304-309)
+            start = full.find(w, offset)
+            end = start + len(w)
+            offset = end
+            width = 8 * max(len(w), 1)
+            words.append(
+                {
+                    "text": w,
+                    "conf": token_confidence(w, widx),
+                    "span": [start, end],
+                    "bbox": [x, y, x + width, y, x + width, y + 18, x, y + 18],
+                }
+            )
+            x += width + 8
+            widx += 1
+        offset += 1  # skip the '\n' separator
+        blocks.append({"block": b, "words": words})
+    doc = {"kind": "layout", "doc_id": doc_id, "text": full, "pages": [{"page": 1, "blocks": blocks}]}
+    return json.dumps(doc, separators=(",", ":")).encode("utf-8")
+
+
+def _gen_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = pd.DataFrame(
+            {
+                "url": [page_url(int(i)) for i in pdf["doc_id"]],
+                "warc_ts": [
+                    EPOCH + timedelta(seconds=int(i)) for i in pdf["doc_id"]
+                ],
+                "html": [
+                    render_layout(int(i), t) if is_layout_doc(int(i)) else render_html(int(i), t)
+                    for i, t in zip(pdf["doc_id"], pdf["text"])
+                ],
+                "text": [None] * len(pdf),  # engine must fill (FIXTURES.md §1)
+                "lang": pdf["lang"].tolist(),
+            }
+        )
+        yield out
+
+
+def build_web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents parquet → input_hint-shaped web_pages frame.
+
+    Stays fully distributed: parquet scan → mapInPandas (Arrow batches).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    return docs.mapInPandas(_gen_batches, schema=WEB_PAGES)

@@ -1,0 +1,85 @@
+"""Layout/OCR payload parse: Document-AI-shaped JSON → text + tokens.
+
+Handles the binary payload family (stand-in for image/PDF OCR responses).
+The payload shape mirrors the reference's Document-AI result
+(ML/google_documentai/run_docai.py:84-93 and the sample JSON under
+ML/google_documentai/results/): a flat ``text`` field plus a page→block→word
+hierarchy where every word carries a [start,end) char span into ``text``,
+a quad bbox, and a confidence.
+
+Reading-order flattening reproduces the reference's Google-Vision walk
+(run_gvision_ocr.py:184-309): running block/para/word counters (A9),
+word_line derived from the extracted text's '\\n' boundaries — the same
+invariant the reference's monotone line scan establishes
+(run_gvision_ocr.py:304-309): a word's line is the fulltext line containing
+its span.
+"""
+
+from __future__ import annotations
+
+import json
+
+
+def extract_layout(payload: bytes) -> tuple[str, list[tuple], list[tuple]]:
+    """bytes → (text, tokens, blocks); tuple layout matches TOKEN/BLOCK."""
+    doc = json.loads(payload.decode("utf-8"))
+    text: str = doc["text"]
+    # Precompute char-offset → line index (count of '\n' before offset).
+    line_starts = [0]
+    for i, ch in enumerate(text):
+        if ch == "\n":
+            line_starts.append(i + 1)
+
+    def line_of(offset: int) -> int:
+        # binary search over line starts (monotone, like the reference scan)
+        lo, hi = 0, len(line_starts) - 1
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if line_starts[mid] <= offset:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
+    tokens: list[tuple] = []
+    blocks: list[tuple] = []
+    widx = 0
+    for page in doc.get("pages", []):
+        pno = int(page.get("page", 1))
+        for blk in page.get("blocks", []):
+            b = int(blk["block"])
+            words = blk.get("words", [])
+            confs = [float(w["conf"]) for w in words] or [0.0]
+            xs: list[int] = []
+            ys: list[int] = []
+            for w in words:
+                bbox = w.get("bbox")
+                if bbox:
+                    xs.extend(bbox[0::2])
+                    ys.extend(bbox[1::2])
+            # block bbox = min/max envelope of word quads (reference A5
+            # crop-rect idiom, old/ocr_to_csv.py:56-69)
+            bbox8 = (
+                [min(xs), min(ys), max(xs), min(ys), max(xs), max(ys), min(xs), max(ys)]
+                if xs
+                else None
+            )
+            blocks.append((pno, b, sum(confs) / len(confs), bbox8))
+            for w in words:
+                start, end = int(w["span"][0]), int(w["span"][1])
+                tokens.append(
+                    (
+                        pno,
+                        b,
+                        b,  # one para per block in this payload family
+                        line_of(start),
+                        widx,
+                        str(w["text"]),
+                        float(w["conf"]),
+                        w.get("bbox"),
+                        start,
+                        end,
+                    )
+                )
+                widx += 1
+    return text, tokens, blocks
