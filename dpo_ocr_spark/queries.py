@@ -154,6 +154,173 @@ def q_block_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Relational operator coverage (implementations in relational.py)
+# ---------------------------------------------------------------------------
+
+
+def _register_relational() -> None:
+    from . import relational as R
+
+    pairs: list[tuple[str, Callable, str]] = [
+        (
+            "filter_scan",
+            R.q_filter_scan,
+            """SELECT event_id, user_id, value FROM events
+               WHERE value > 50.0 AND event_type = 'click'""",
+        ),
+        (
+            "multiway_join",
+            R.q_multiway_join,
+            """SELECT n_name,
+                      CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+                      COUNT(*) AS n_items
+               FROM lineitem
+               JOIN orders   ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey  = c_custkey
+               JOIN nation   ON c_nationkey = n_nationkey
+               GROUP BY n_name""",
+        ),
+        (
+            "left_join_counts",
+            R.q_left_join_counts,
+            """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+               FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+               GROUP BY c_custkey, c_name""",
+        ),
+        (
+            "semi_join",
+            R.q_semi_join,
+            """SELECT o_orderkey, o_orderstatus FROM orders
+               WHERE o_orderkey IN
+                 (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)""",
+        ),
+        (
+            "anti_join",
+            R.q_anti_join,
+            """SELECT o_orderkey, o_orderstatus FROM orders
+               WHERE o_orderkey NOT IN
+                 (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)""",
+        ),
+        (
+            "topk_window",
+            R.q_topk_window,
+            """SELECT c_nationkey, c_custkey, c_acctbal FROM (
+                 SELECT c_nationkey, c_custkey, c_acctbal,
+                        row_number() OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+                 FROM customer) WHERE rn = 1""",
+        ),
+        (
+            "avg_round",
+            R.q_avg_round,
+            """SELECT l_returnflag, l_linestatus,
+                      round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                                 AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+                      COUNT(*) AS n_rows
+               FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        ),
+        (
+            "count_distinct",
+            R.q_count_distinct,
+            """SELECT o_orderstatus,
+                      COUNT(DISTINCT o_custkey) AS n_customers,
+                      COUNT(*) AS n_orders
+               FROM orders GROUP BY o_orderstatus""",
+        ),
+        (
+            "string_agg_distinct",
+            R.q_string_agg_distinct,
+            """SELECT user_id,
+                      array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                        AS event_types
+               FROM events GROUP BY user_id""",
+        ),
+        (
+            "minmax_envelope",
+            R.q_minmax_envelope,
+            """SELECT l_returnflag,
+                      greatest(MIN(l_quantity), 2.0) AS qty_lo,
+                      least(MAX(l_quantity), 49.0) AS qty_hi,
+                      MIN(l_shipdate) AS first_ship,
+                      MAX(l_shipdate) AS last_ship
+               FROM lineitem GROUP BY l_returnflag""",
+        ),
+        (
+            "histogram",
+            R.q_histogram,
+            """SELECT CAST(floor(value / 25.0) AS INT) AS bucket,
+                      COUNT(*) AS n
+               FROM events GROUP BY 1""",
+        ),
+        (
+            "case_bucket",
+            R.q_case_bucket,
+            """SELECT CASE WHEN l_discount > 0.08 THEN 'high'
+                           WHEN l_discount > 0.04 THEN 'mid'
+                           WHEN l_discount > 0.02 THEN 'low'
+                           ELSE 'none' END AS disc_class,
+                      COUNT(*) AS n,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                           AS DECIMAL(38,4)) AS gross
+               FROM lineitem GROUP BY 1""",
+        ),
+        (
+            "union_distinct",
+            R.q_union_distinct,
+            """SELECT p_brand AS name, 1 AS sortorder FROM part
+               UNION
+               SELECT p_type AS name, 2 AS sortorder FROM part""",
+        ),
+        (
+            "unpivot",
+            R.q_unpivot,
+            """SELECT p_partkey, 'brand' AS field, p_brand AS data FROM part
+               WHERE p_brand IS NOT NULL
+               UNION ALL
+               SELECT p_partkey, 'type', p_type FROM part
+               WHERE p_type IS NOT NULL""",
+        ),
+        (
+            "range_join",
+            R.q_range_join,
+            """SELECT r_regionkey AS zone_id, COUNT(*) AS n_orders,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                           AS DECIMAL(38,4)) AS total
+               FROM orders JOIN region
+                 ON o_totalprice >= r_regionkey * 60000.0
+                AND o_totalprice < (r_regionkey + 1) * 60000.0
+               GROUP BY 1""",
+        ),
+        (
+            "fuzzy_argmax",
+            R.q_fuzzy_argmax,
+            """SELECT query, s_suppkey, s_name, dist FROM (
+                 SELECT n_name AS query, s_suppkey, s_name,
+                        levenshtein(s_name, n_name) AS dist,
+                        row_number() OVER (PARTITION BY n_name
+                          ORDER BY levenshtein(s_name, n_name) ASC,
+                                   length(s_name) ASC, s_suppkey ASC) AS rn
+                 FROM supplier CROSS JOIN nation) WHERE rn = 1""",
+        ),
+        (
+            "split_sample",
+            R.q_split_sample,
+            """SELECT doc_id,
+                      CASE WHEN doc_id % 10 < 2 THEN 'ref' ELSE 'test' END
+                        AS ref_or_test
+               FROM documents""",
+        ),
+    ]
+    for name, fn, sql in pairs:
+        QUERIES[name] = fn
+        ORACLES[name] = sql
+
+
+_register_relational()
+
+
 @register(
     "reading_order",
     f"""
