@@ -321,6 +321,130 @@ def _register_relational() -> None:
 _register_relational()
 
 
+# ---------------------------------------------------------------------------
+# Interpretation cascade (implementations in interpret/; SURVEY.md §3.2)
+# ---------------------------------------------------------------------------
+
+_LBL_CTE = """
+lbl AS (
+  SELECT 'label://' || CAST(o_orderkey AS VARCHAR) AS url,
+         o_orderdate AS d, o_orderkey AS k, c_name AS cname
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderkey % 100 = 0
+)
+"""
+
+
+def _label_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .interpret.labels import label_blocks
+    from .interpret.match import dedup_line_grain, interpret_dates
+
+    return dedup_line_grain(interpret_dates(label_blocks(spark, sf_dir)))
+
+
+_INTERP_COLS = [
+    "url", "block_id", "data_type", "data_format",
+    "interpreted_value", "verbatim_value",
+]
+
+
+@register(
+    "interp_date_roman",
+    f"""
+WITH {_LBL_CTE}
+SELECT url, 0 AS block_id, 'verbatim_date' AS data_type,
+       'Date (Y-M-D)' AS data_format,
+       strftime(d, '%Y-%m-%d') AS interpreted_value,
+       CAST(day(d) AS VARCHAR) || '-' || strftime(d, '%b') || '-'
+         || CAST(year(d) AS VARCHAR) AS verbatim_value
+FROM lbl WHERE month(d) != 12
+""",
+)
+def q_interp_date_roman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3+C4: roman-numeral date cascade.  The oracle's ``month != 12``
+    filter IS the reference's X11 quirk (roman map has no XII key,
+    block_identification.py:143): December dates parse to nothing."""
+    return _label_fields(spark, sf_dir).filter(
+        F.col("data_format") == "Date (Y-M-D)"
+    ).select(*_INTERP_COLS)
+
+
+@register(
+    "interp_elevation",
+    f"""
+WITH {_LBL_CTE}
+SELECT url, 1 AS block_id, 'elevation' AS data_type,
+       'elevation' AS data_format,
+       '[' || chr(39) || CAST((k % 40) * 100 + 100 AS VARCHAR) || chr(39)
+           || ']' || chr(39) AS interpreted_value,
+       CAST((k % 40) * 100 + 100 AS VARCHAR) || chr(39) AS verbatim_value
+FROM lbl
+""",
+)
+def q_interp_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 incl. the list-repr quirk: interpreted_value is the *Python list*
+    of digit runs, e.g. ['1200']' (block_identification.py:120)."""
+    return _label_fields(spark, sf_dir).filter(
+        F.col("data_type") == "elevation"
+    ).select(*_INTERP_COLS)
+
+
+@register(
+    "interp_year",
+    f"""
+WITH {_LBL_CTE}
+SELECT url, 2 AS block_id, 'verbatim_date' AS data_type,
+       'Date (year)' AS data_format,
+       CAST(year(d) AS VARCHAR) AS interpreted_value,
+       CAST(year(d) AS VARCHAR) AS verbatim_value
+FROM lbl
+""",
+)
+def q_interp_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: bare-year rule (1800 <= y < current year)."""
+    return _label_fields(spark, sf_dir).filter(
+        F.col("data_format") == "Date (year)"
+    ).select(*_INTERP_COLS)
+
+
+@register(
+    "interp_collector",
+    f"""
+WITH {_LBL_CTE}
+SELECT url, 3 AS block_id, 'collector' AS data_type,
+       'collector' AS data_format,
+       cname AS interpreted_value,
+       'Coll. ' || cname AS verbatim_value
+FROM lbl
+""",
+)
+def q_interp_collector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6+J9: collector extraction with other-field subtraction."""
+    from .interpret.labels import label_blocks
+    from .interpret.match import dedup_line_grain, match_collector
+
+    blocks = label_blocks(spark, sf_dir)
+    base = _label_fields(spark, sf_dir)
+    return dedup_line_grain(match_collector(blocks, base)).filter(
+        F.col("data_type") == "collector"
+    ).select(*_INTERP_COLS)
+
+
+@register("interpret_full")  # fuzzy ops — rows-only driver check
+def q_interpret_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full §3.2 pipeline incl. locality/taxonomy fuzzy match and the
+    pg_trgm similarity fallback (non-SQL-expressible → rows-only; exact
+    behavior pinned by pytest goldens)."""
+    from .interpret.dims import gazetteer, taxonomy
+    from .interpret.labels import label_blocks_with_dims
+    from .interpret.match import interpret_all
+
+    blocks = label_blocks_with_dims(spark, sf_dir)
+    return interpret_all(
+        spark, blocks, gazetteer(spark, sf_dir), taxonomy(spark)
+    )
+
+
 @register(
     "reading_order",
     f"""

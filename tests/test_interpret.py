@@ -1,0 +1,161 @@
+"""Interpretation cascade + fuzzy kernels: reference-quirk goldens.
+
+Every quirk of block_identification.py is pinned by an explicit test so a
+"fix" would fail loudly (SURVEY.md §7.3: reproduce, don't repair).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dpo_ocr_spark.interpret.dates import interpret_block
+from dpo_ocr_spark.interpret.fuzzy import (
+    partial_ratio,
+    ratio,
+    similarity,
+    token_set_ratio,
+    token_sort_ratio,
+    word_similarity,
+)
+from dpo_ocr_spark.interpret.mini_dateparser import parse
+
+
+# --- date cascade ----------------------------------------------------------
+
+def test_bare_year():
+    assert interpret_block("1943") == (
+        "verbatim_date", "Date (year)", "1943", "1943")
+
+
+def test_year_range_excludes_current_year():
+    # range(1800, cur_year) — cur_year itself rejected (:98)
+    assert interpret_block("2026") is None
+    assert interpret_block("2025") is not None
+    assert interpret_block("1799") is None
+    assert interpret_block("1800") is not None
+
+
+def test_elevation_list_repr_quirk():
+    # interpreted_value is the str() of re.findall's list (:120)
+    assert interpret_block("Alt. 1500'") == (
+        "elevation", "elevation", "['1500']'", "1500'")
+    assert interpret_block("elev 800m") == (
+        "elevation", "elevation", "['800']m", "800m")
+
+
+def test_short_block_fallthrough_quirk():
+    # a short block with 4 digits NOT in year range falls through (:97-103
+    # has no else) and reaches the elevation rule
+    assert interpret_block("1,500'") == (
+        "elevation", "elevation", "['1', '500']'", "1,500'")
+
+
+def test_no_guard():
+    assert interpret_block("No. 1234 Jun 1943") is None
+
+
+def test_collector_string_guard():
+    assert interpret_block("Coll.", collector_strings=("Coll.",)) is None
+
+
+def test_direct_date():
+    assert interpret_block("12 Jun 1943") == (
+        "verbatim_date", "Date (Y-M-D)", "1943-06-12", "12 Jun 1943")
+
+
+def test_roman_month():
+    assert interpret_block("5-VI-1943") == (
+        "verbatim_date", "Date (Y-M-D)", "1943-06-05", "5-Jun-1943")
+
+
+def test_roman_december_x11_quirk():
+    # map has "X11" (digits), no "XII" (:143) → December roman dates fail
+    assert interpret_block("5-XII-1943") is None
+
+
+@pytest.mark.parametrize(
+    "roman,month",
+    [("I", 1), ("II", 2), ("III", 3), ("IV", 4), ("V", 5), ("VI", 6),
+     ("VII", 7), ("VIII", 8), ("IX", 9), ("X", 10), ("XI", 11)],
+)
+def test_roman_all_months(roman, month):
+    got = interpret_block(f"7-{roman}-1920")
+    assert got is not None and got[2] == f"1920-{month:02d}-07"
+
+
+def test_ambiguous_numeric_last_format_wins():
+    # stage-1 format loop has no break (:136-141) → MDY (last) wins
+    assert interpret_block("12-06-1943")[2] == "1943-12-06"
+
+
+def test_century_fix_minus_1000_quirk():
+    # 2-digit year → 2043; 2043 > cur_year → −1000 (:171), NOT −100
+    got = interpret_block("Jun '43")
+    assert got[2] == "1043-06-01"
+
+
+def test_month_year_prefers_day_one():
+    assert interpret_block("V-1922")[2] == "1922-05-01"
+
+
+# --- mini dateparser --------------------------------------------------------
+
+def test_parse_orders():
+    assert parse("12-06-1943", "DMY") == (1943, 6, 12)
+    assert parse("1943-06-12", "YMD") == (1943, 6, 12)
+    assert parse("12-06-1943", "MDY") == (1943, 12, 6)
+    assert parse("31-02-1943", "DMY") is None  # invalid day
+    assert parse("hello", "DMY") is None
+    assert parse("Jun 1943", "DMY") == (1943, 6, 1)
+
+
+# --- fuzzy kernels (published fuzzywuzzy / pg_trgm values) -------------------
+
+def test_fuzz_family_known_values():
+    assert ratio("this is a test", "this is a test!") == 97
+    assert partial_ratio("this is a test", "this is a test!") == 100
+    assert token_sort_ratio(
+        "fuzzy wuzzy was a bear", "wuzzy fuzzy was a bear") == 100
+    assert token_set_ratio(
+        "fuzzy was a bear", "fuzzy fuzzy was a bear") == 100
+    assert ratio("", "") == 100
+    assert ratio("abc", "") == 0
+
+
+def test_pg_trgm_known_values():
+    # postgres docs: similarity('word', 'two words') = 0.36363637,
+    # word_similarity('word', 'two words') = 0.8
+    assert abs(similarity("word", "two words") - 4 / 11) < 1e-9
+    assert abs(word_similarity("word", "two words") - 0.8) < 1e-9
+    assert word_similarity("dog", "the dog barked") == 1.0
+
+
+# --- Spark pipeline ----------------------------------------------------------
+
+def test_interpret_all_on_labels(spark):
+    from dpo_ocr_spark.interpret.dims import gazetteer, taxonomy
+    from dpo_ocr_spark.interpret.labels import label_blocks_with_dims
+    from dpo_ocr_spark.interpret.match import interpret_all
+
+    sd = "/root/testdata/sf0.001"
+    blocks = label_blocks_with_dims(spark, sd)
+    fields = interpret_all(
+        spark, blocks, gazetteer(spark, sd), taxonomy(spark)
+    ).collect()
+    by_key = {(r.url, r.block_id, r.data_type): r for r in fields}
+    urls = {r.url for r in fields}
+    assert urls, "no label urls produced fields"
+    u = sorted(urls)[0]
+    # locality block hit the gazetteer exactly
+    loc = [r for r in fields if r.url == u and r.data_type == "verbatim_locality"]
+    assert loc and loc[0].interpreted_value.endswith(
+        (" Co., Africa", " Co., America", " Co., Asia", " Co., Europe",
+         " Co., Middle East"))
+    # taxonomy block matched a species (sortorder-1 level)
+    tax = [r for r in fields if r.url == u and r.data_type == "taxonomy"]
+    assert tax and tax[0].data_format == "taxonomy:species"
+    # determinism across runs
+    again = interpret_all(
+        spark, blocks, gazetteer(spark, sd), taxonomy(spark)
+    ).collect()
+    assert sorted(map(tuple, fields)) == sorted(map(tuple, again))
