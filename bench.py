@@ -1,0 +1,200 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: runs the headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "throughput": {...}}
+
+``--scaling`` mode: runs the extraction pipeline at two parallelism levels
+(local[8] vs local[32]) in fresh subprocesses (cold JVM each, one warm-up
+run discarded inside each) and writes BENCH/BASELINE.md with docs/sec,
+MB/sec and the scaling efficiency E = T8/(4·T32) — the sandbox evidence
+for the north rule's two-cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "8"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _replicated_pages(spark, sf_dir: str, copies: int):
+    """Deterministically replicate the corpus ×copies (url-suffixed) so the
+    decode stage has enough bytes for a stable throughput measurement."""
+    from pyspark.sql import functions as F
+
+    from dpo_ocr_spark.corpus import build_web_pages
+
+    pages = build_web_pages(spark, sf_dir)
+    reps = spark.range(copies).select(F.col("id").alias("rep"))
+    return pages.crossJoin(reps).select(
+        F.concat_ws("#", "url", "rep").alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+
+
+def run_extraction_bench(spark, sf_dir: str, copies: int) -> dict:
+    """Full decode+assemble pass; returns timing + docs/sec + MB/sec."""
+    from pyspark.sql import functions as F
+
+    from dpo_ocr_spark.assemble import assemble_blocks, explode_tokens
+    from dpo_ocr_spark.extract import extract_pages
+    from dpo_ocr_spark.scale import salted_repartition
+
+    pages = _replicated_pages(spark, sf_dir, copies)
+    pages = salted_repartition(pages, CPUS * 2)
+    extracted = extract_pages(pages)
+    t0 = time.time()
+    agg = extracted.agg(
+        F.count("*").alias("docs"), F.sum("n_bytes").alias("bytes")
+    ).collect()[0]
+    t_extract = time.time() - t0
+    t0 = time.time()
+    n_blocks = assemble_blocks(explode_tokens(extracted)).count()
+    t_assemble = time.time() - t0
+    return {
+        "docs": int(agg.docs),
+        "mb": round(agg.bytes / 1e6, 2),
+        "extract_sec": round(t_extract, 3),
+        "assemble_sec": round(t_assemble, 3),
+        "docs_per_sec": round(agg.docs / t_extract, 1),
+        "mb_per_sec": round(agg.bytes / 1e6 / t_extract, 2),
+        "n_blocks": int(n_blocks),
+    }
+
+
+HEADLINE = [
+    "extract_text",
+    "block_assembly",
+    "reading_order",
+    "multiway_join",
+    "topk_window",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard",
+    "ann_brute_force",
+    "ann_lsh",
+    "interp_date_roman",
+    "token_counts",
+    "language_id",
+]
+
+
+def main() -> int:
+    if "--scaling" in sys.argv:
+        return scaling_main()
+    from dpo_ocr_spark.session import get_spark
+
+    import __spark_entry__ as E
+
+    spark = get_spark("bench", cpus=CPUS)
+    qs = E.queries()
+    times: dict[str, float] = {}
+    # warm-up: JVM + parquet footer caches (smallest query)
+    qs["topk_window"](spark, SF_DIR).count()
+
+    ext = run_extraction_bench(spark, SF_DIR, REPLICATE)
+    times["extract_pipeline"] = ext["extract_sec"]
+    times["assemble_pipeline"] = ext["assemble_sec"]
+
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "throughput": {
+                    "extract_docs_per_sec": ext["docs_per_sec"],
+                    "extract_mb_per_sec": ext["mb_per_sec"],
+                    "docs": ext["docs"],
+                    "mb": ext["mb"],
+                },
+            }
+        )
+    )
+    return 0
+
+
+def _one_scaling_run(cpus: int) -> dict:
+    """Run the extraction bench in a fresh subprocess at local[cpus]."""
+    code = (
+        "import sys, json, time; sys.path.insert(0, '/root/repo')\n"
+        "from dpo_ocr_spark.session import get_spark\n"
+        "import bench\n"
+        f"spark = get_spark('scaling', cpus={cpus})\n"
+        f"bench.CPUS = {cpus}\n"
+        "# warm-up pass (JVM/JIT), then the measured pass\n"
+        f"bench.run_extraction_bench(spark, '{SF_DIR}', {REPLICATE})\n"
+        f"r = bench.run_extraction_bench(spark, '{SF_DIR}', {REPLICATE})\n"
+        "print('RESULT ' + json.dumps(r))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=1200,
+        cwd="/root/repo",
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(f"scaling run failed:\n{out.stdout}\n{out.stderr}")
+
+
+def scaling_main() -> int:
+    lo, hi = 8, 32
+    r_lo = _one_scaling_run(lo)
+    r_hi = _one_scaling_run(hi)
+    eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    md = f"""# BENCH — measured baseline & scaling evidence
+
+Input: deterministic synthetic web corpus derived from `{SF_DIR}`
+documents ×{REPLICATE} replication ({r_lo['docs']} docs,
+{r_lo['mb']} MB of payload decoded per pass). Full extraction stage
+(salted repartition → Arrow decode → boilerplate strip / layout parse),
+warm-up pass discarded, fresh JVM per parallelism level.
+
+| parallelism | extract sec | docs/sec | MB/sec | assemble sec |
+|---|---|---|---|---|
+| local[{lo}]  | {r_lo['extract_sec']} | {r_lo['docs_per_sec']} | {r_lo['mb_per_sec']} | {r_lo['assemble_sec']} |
+| local[{hi}] | {r_hi['extract_sec']} | {r_hi['docs_per_sec']} | {r_hi['mb_per_sec']} | {r_hi['assemble_sec']} |
+
+**Scaling efficiency** (north rule, N vs 4N cores):
+E = throughput({hi}) / (4 × throughput({lo}))
+  = {r_hi['docs_per_sec']} / (4 × {r_lo['docs_per_sec']})
+  = **{eff:.3f}**  (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "MISS"})
+
+Interpretation: the extraction stage is a narrow map over salted
+partitions — no shuffle until assembly — so wall-clock scales with cores
+until the payload pool is too small to amortize task overhead. At 100 TB
+(10¹² rows) each task would own ~128 MB of payload, far above the
+per-task overhead floor observed here.
+"""
+    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+    print(json.dumps({"efficiency": round(eff, 3), "lo": r_lo, "hi": r_hi}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

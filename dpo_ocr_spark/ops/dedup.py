@@ -1,0 +1,286 @@
+"""Deduplication operators (brief: first-class training-data ops).
+
+Scale shapes:
+- **exact**: one groupBy on a hash key — the canonical 100 TB dedup is a
+  single shuffle on md5(normalized text), keep min(doc_id).
+- **MinHash + LSH**: shingle → k minhashes (md5-derived, engine-portable)
+  → band into b groups of r rows → bucket-join: only same-bucket pairs are
+  candidates, then exact-jaccard verify.  At 10¹² docs the bucket join is
+  the only shuffle and its fan-out is controlled by (b, r); never an
+  all-pairs crossJoin.
+- **n-gram Jaccard** (exact, small-scale verifier): shingle explode +
+  self-join on shared shingles + |∩|/|∪| from group counts.
+- **SimHash**: 64-bit sign-aggregated word-hash fingerprint; hamming-ball
+  candidates.  (Bit-majority is not portably SQL-expressible → rows-only
+  oracle; pinned by pytest against a pure-Python reference.)
+- **embedding near-dup**: integer-quantized cosine gate — exact arithmetic,
+  so Spark and DuckDB agree bit-for-bit (see _QUANT comment).
+
+All outputs are integer/string-exact (no raw float in oracle-checked
+columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+SHINGLE_K = 3  # words per shingle
+MINHASH_K = 12  # signature length
+LSH_BANDS = 4  # → rows per band = MINHASH_K / LSH_BANDS
+# embedding quantization: round(x * 10^3) → exact BIGINT arithmetic.
+# Overflow budget: |x| ≤ 1, dims ≤ 128 → |dot| ≤ 1.28e8, dot² ≤ 1.64e16;
+# with t = t_num/t_den ≤ 1 and t_den ≤ 20: dot²·t_den² ≤ 6.6e18 < 2^63
+# and t_num²·na·nb ≤ 6.6e18 < 2^63.
+_QUANT = 1_000
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _norm_text() -> F.Column:
+    return F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the smallest doc_id per exact (normalized) text: one shuffle."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(_norm_text()).alias("fp")
+    )
+    return docs.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_dups"),
+    )
+
+
+_WS_SQL = "split(regexp_replace(lower(text), '\\\\s+', ' '), ' ')"
+
+
+def _shingles() -> F.Column:
+    """Ordered word-3-gram shingles of the normalized text (distinct).
+    Texts shorter than K words yield one (short) shingle — the oracle SQL
+    mirrors the same clipping via inclusive list slices."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size({_WS_SQL}) - "
+            f"{SHINGLE_K - 1}, 1)), "
+            f"i -> concat_ws(' ', slice({_WS_SQL}, i, {SHINGLE_K})))"
+        )
+    )
+
+
+def shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded distinct shingles."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(_shingles()).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold_x1000: int = 300
+) -> DataFrame:
+    """Exact word-shingle Jaccard over all pairs sharing ≥1 shingle.
+
+    Join on shingle (never crossJoin): candidate pairs are generated only
+    where an inverted-index bucket overlaps — the same sparsity argument
+    that makes this viable at scale, here with exact verification.
+    Jaccard emitted ×1000 integer-floored (engine-exact)."""
+    sh = shingle_frame(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+            F.floor(
+                F.col("n_inter") * 1000
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).cast("long").alias("jaccard_x1000"),
+        )
+        .filter(F.col("jaccard_x1000") >= threshold_x1000)
+    )
+
+
+def _minhash_cols() -> list[F.Column]:
+    """k md5-derived minhashes: min over shingles of int(md5(i || shingle)).
+    Engine-portable: DuckDB computes the identical md5/hex-int."""
+    cols = []
+    for i in range(MINHASH_K):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 15),
+            16, 10,
+        ).cast("long")
+        cols.append(F.min(h).alias(f"mh_{i}"))
+    return cols
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingle_frame(spark, sf_dir).groupBy("doc_id").agg(*_minhash_cols())
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: same (band, band-hash) bucket → candidate pair.
+
+    Each band hashes r = K/b consecutive signature rows; a pair collides if
+    ANY band matches (union over bands, dedup).  Only bucket-joins — scale
+    cost is Σ bucket² not n²."""
+    sig = minhash_signatures(spark, sf_dir)
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = []
+    for band in range(LSH_BANDS):
+        cols = [
+            F.col(f"mh_{band * rows_per_band + j}")
+            for j in range(rows_per_band)
+        ]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws("-", *[c.cast("string") for c in cols]))
+                .alias("bucket"),
+            )
+        )
+    bucketed = bands[0]
+    for bdf in bands[1:]:
+        bucketed = bucketed.unionByName(bdf)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (rows-only oracle; pytest-pinned against the Python reference)
+# ---------------------------------------------------------------------------
+
+
+def simhash64_py(words: list[str]) -> int:
+    """Pure-Python reference: 64-bit sign-majority of FNV-1a word hashes."""
+    acc = [0] * 64
+    for w in words:
+        h = 0xCBF29CE484222325
+        for ch in w.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        for bit in range(64):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints via Arrow batches (bit-majority not portably
+    SQL-expressible; emitted as two 32-bit halves to stay in signed longs)."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hs = [
+                simhash64_py((t or "").lower().split())
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "simhash_hi": [h >> 32 for h in hs],
+                    "simhash_lo": [h & 0xFFFFFFFF for h in hs],
+                }
+            )
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, simhash_hi long, simhash_lo long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (integer-exact cosine gate)
+# ---------------------------------------------------------------------------
+
+
+def _quantized(df: DataFrame) -> DataFrame:
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _QUANT).cast("long"),
+    )
+    return df.select(
+        "vec_id",
+        q.alias("q"),
+    ).select(
+        "vec_id",
+        "q",
+        F.aggregate(
+            F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("norm2"),
+    )
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, t_num: int = 2, t_den: int = 5
+) -> DataFrame:
+    """Pairs with cosine ≥ t, decided in EXACT integer arithmetic:
+    dot > 0 and dot² · t_den² ≥ t_num² · |a|²·|b|² — bit-identical across
+    engines (no float in the predicate).  All-pairs here (500 vecs); the
+    scale path buckets by LSH first (ops/similarity.py)."""
+    emb = _quantized(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            dot.alias("dot"),
+            F.col("a.norm2").alias("na"),
+            F.col("b.norm2").alias("nb"),
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * (t_den * t_den)
+                >= F.lit(t_num * t_num) * F.col("na") * F.col("nb")
+            )
+        )
+        .select("vec_a", "vec_b")
+    )
+    return pairs

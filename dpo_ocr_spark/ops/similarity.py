@@ -1,0 +1,165 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``brute_force_topk``: exact cosine top-k per query — the correctness
+  baseline.  Cosine is computed from EXACT integer dot/norms (quantized),
+  then a single IEEE double division+sqrt of identical integers — so Spark
+  and DuckDB produce bit-identical doubles and identical orderings.
+  Per-query window argmax (never a global sort).
+- ``lsh_topk``: the scale path — random-hyperplane sign buckets
+  (hyperplanes derived from md5, engine-free determinism), candidates
+  restricted to same-bucket rows, then exact re-rank.  At 10¹² rows the
+  bucket join replaces the all-pairs crossJoin; recall is tested in pytest
+  against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .dedup import _QUANT
+
+N_QUERIES = 10  # vec_id < N_QUERIES act as the query set
+TOP_K = 5
+# multi-table LSH: L tables × k planes each.  One fine table would give
+# tiny buckets and ~2% recall; L coarser tables unioned trade compute for
+# recall (P[collide in ≥1 table] = 1-(1-(1-θ/π)^k)^L).
+LSH_TABLES = 8
+LSH_PLANES = 4  # 2^4 buckets per table
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _QUANT).cast("long"),
+    )
+    norm2 = F.aggregate(
+        F.zip_with(q, q, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select("vec_id", q.alias("q"), norm2.alias("norm2"))
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def brute_force_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
+    """Exact cosine top-k of every corpus vector for each query vector."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("norm2").alias("qn"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("q").alias("cv"),
+        F.col("norm2").alias("cn"),
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col("cand_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "cand_id",
+        (
+            _dot("qv", "cv").cast("double")
+            / F.sqrt(F.col("qn").cast("double") * F.col("cn").cast("double"))
+        ).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id", "cand_id", F.col("rn").alias("rank"),
+            F.round("cos", 6).alias("cos_r6"),
+        )
+    )
+
+
+def _bucket_col(qcol: str, table: int) -> F.Column:
+    """Sign-bucket of one LSH table: bit i = (dot(v, plane_{t,i}) > 0).
+    Plane components are md5-derived ±1 per (table, plane, dim) —
+    deterministic on any engine, no RNG."""
+    bits = []
+    for p in range(LSH_PLANES):
+        # plane vector h[d] = +1 iff md5("t:p|d") leading hex nibble ≥ 8
+        signed = F.expr(
+            f"aggregate(zip_with({qcol}, sequence(0, size({qcol})-1), "
+            f"(x, d) -> CASE WHEN substring(md5(concat('{table}:{p}|', d)), "
+            f"1, 1) IN ('8','9','a','b','c','d','e','f') THEN x ELSE -x END), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        bits.append(F.when(signed > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """Multi-table bucketed ANN: candidates = union over tables of
+    same-bucket rows, exact cosine re-rank within candidates."""
+    emb = _emb(spark, sf_dir)
+    tabbed = None
+    for t in range(LSH_TABLES):
+        part = emb.select(
+            "vec_id", "q", "norm2",
+            F.lit(t).alias("tbl"),
+            _bucket_col("q", t).alias("bucket"),
+        )
+        tabbed = part if tabbed is None else tabbed.unionByName(part)
+    queries = tabbed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("norm2").alias("qn"),
+        F.col("tbl").alias("qt"),
+        F.col("bucket").alias("qb"),
+    )
+    corpus = tabbed.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("q").alias("cv"),
+        F.col("norm2").alias("cn"),
+        F.col("tbl").alias("ct"),
+        F.col("bucket").alias("cb"),
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (F.col("ct") == F.col("qt")) & (F.col("cb") == F.col("qb"))
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+        .select("query_id", "cand_id", "qv", "cv", "qn", "cn")
+        .dropDuplicates(["query_id", "cand_id"])  # union of tables
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                _dot("qv", "cv").cast("double")
+                / F.sqrt(
+                    F.col("qn").cast("double") * F.col("cn").cast("double")
+                )
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id", "cand_id", F.col("rn").alias("rank"),
+            F.round("cos", 6).alias("cos_r6"),
+        )
+    )

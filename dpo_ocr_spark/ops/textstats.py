@@ -1,0 +1,113 @@
+"""Text-analysis operators for a training-data pipeline (brief: first-class).
+
+All hot paths are built-in ``pyspark.sql.functions`` (JVM-side, whole-stage
+codegen) — no Python in any of these operators:
+
+- token counting: whitespace split + a BPE-ish subword regex count;
+- quality scoring: length / punctuation-ratio / stopword-ratio signals;
+- language-ID: distinct-stopword-overlap argmax over per-language lists
+  (n-gram-free heuristic variant that is exactly reproducible in SQL);
+- document fingerprint: md5 (exact dedup key) — the rolling/simhash
+  variants live in ops/dedup.py.
+
+Ratios are emitted ×1000 as integers (FP-hash-safe oracle contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# tiny per-language stopword lists (deterministic, shared with oracle SQL)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "was"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "dans"],
+    "de": ["der", "die", "das", "und", "ein", "ist", "nicht", "mit"],
+    "es": ["el", "la", "de", "y", "un", "una", "es", "en"],
+}
+
+# BPE-ish subword pieces: alternating letter-digit boundaries, word pieces
+# of ≤4 chars — a cheap deterministic stand-in for a real tokenizer's
+# piece count (regexp only, stays in codegen)
+SUBWORD_REGEX = r"[a-z]{1,4}|[A-Z][a-z]{0,3}|\d{1,4}|[^\sa-zA-Z0-9]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish subword piece count per document."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_words"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(SUBWORD_REGEX), 0)
+        ).alias("n_subwords"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/punct/stopword quality signals, integer-scaled ×1000."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), r"\s+")
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_words = F.size(words)
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]+", ""))
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(en, w)))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.floor(n_punct * 1000 / F.length("text")).cast("long").alias(
+            "punct_ratio_x1000"
+        ),
+        F.floor(n_stop * 1000 / n_words).cast("long").alias(
+            "stopword_ratio_x1000"
+        ),
+        (
+            (F.length("text") >= 100)
+            & (n_stop * 1000 / n_words >= F.lit(10))
+        ).alias("keep"),
+    )
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language heuristic: distinct-match count per
+    language, argmax with deterministic tie-break on language code."""
+    docs = _docs(spark, sf_dir)
+    words = F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+    scores = [
+        F.size(
+            F.array_intersect(
+                words, F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+            )
+        ).alias(f"s_{lang}")
+        for lang in sorted(STOPWORDS)
+    ]
+    scored = docs.select("doc_id", F.col("lang").alias("labeled_lang"), *scores)
+    langs = sorted(STOPWORDS)
+    # argmax via greatest + chained when (ties → first lang asc)
+    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.col(f"s_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id", "labeled_lang", best.alias("best_score"),
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup fingerprint: md5 of lowercase-collapsed text (identical
+    in DuckDB), plus a 60-bit integer form for bucketing."""
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10)
+        .cast("long")
+        .alias("fp_int"),
+    )

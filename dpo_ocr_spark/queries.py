@@ -474,3 +474,6 @@ def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_words"),
         )
     )
+
+# side-effect registration of the training-data ops queries
+from . import queries_ops  # noqa: E402,F401

@@ -1,0 +1,318 @@
+"""Query+oracle registrations for the training-data ops (ops/*).
+
+Separated from queries.py for readability; imported by it for side-effect
+registration.  Shared determinism contracts:
+- shingles: word-3-grams of whitespace-collapsed lowercase text, distinct,
+  short texts yield one clipped shingle (slice semantics identical);
+- minhash_i = min over shingles of int64(md5("i|" || shingle)[:15 hex]);
+- embedding quantization: int64(round(double(x) * 1000)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .queries import ORACLES, QUERIES
+from .ops import dedup as D
+from .ops import similarity as S
+from .ops import textstats as TS
+from .ops.dedup import LSH_BANDS, MINHASH_K
+from .ops.textstats import STOPWORDS, SUBWORD_REGEX
+
+# --- shared oracle fragments -------------------------------------------------
+
+_WS_CTE = r"""
+ws AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+)
+"""
+
+_SH_CTE = _WS_CTE + r""",
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+                  i -> array_to_string(w[i:i+2], ' '))) AS shingle
+    FROM ws) t
+)
+"""
+
+_MD5INT = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+_MH_COLS = ", ".join(
+    "MIN(" + _MD5INT.format(expr=f"concat('{i}|', shingle)") + f") AS mh_{i}"
+    for i in range(MINHASH_K)
+)
+_MH_CTE = _SH_CTE + f""",
+mh AS (
+  SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id
+)
+"""
+
+_R = MINHASH_K // LSH_BANDS
+_BANDS_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band, md5("
+    + " || '-' || ".join(
+        f"CAST(mh_{b * _R + j} AS VARCHAR)" for j in range(_R)
+    )
+    + ") AS bucket FROM mh"
+    for b in range(LSH_BANDS)
+)
+
+_Q_CTE = """
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS norm2
+  FROM q
+)
+"""
+
+_STOP_EN = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+
+
+def _lang_scores_sql() -> str:
+    parts = []
+    for lang in sorted(STOPWORDS):
+        lst = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        parts.append(
+            f"len(list_intersect(list_distinct(regexp_split_to_array("
+            f"lower(text), '\\s+')), {lst})) AS s_{lang}"
+        )
+    return ", ".join(parts)
+
+
+def _register(name: str, fn, sql: str | None = None) -> None:
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+# --- textstats ----------------------------------------------------------------
+
+_register(
+    "token_counts",
+    TS.token_counts,
+    f"""
+SELECT doc_id,
+       len(regexp_split_to_array(text, '\\s+')) AS n_words,
+       len(regexp_extract_all(text, '{SUBWORD_REGEX}')) AS n_subwords,
+       length(text) AS n_chars
+FROM documents
+""",
+)
+
+_register(
+    "quality_scores",
+    TS.quality_scores,
+    f"""
+SELECT doc_id,
+       len(regexp_split_to_array(text, '\\s+')) AS n_words,
+       CAST(floor(length(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g'))
+                  * 1000 / length(text)) AS BIGINT) AS punct_ratio_x1000,
+       CAST(floor(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  w -> list_contains({_STOP_EN}, w)))
+                  * 1000 / len(regexp_split_to_array(text, '\\s+')))
+            AS BIGINT) AS stopword_ratio_x1000,
+       (length(text) >= 100 AND
+        len(list_filter(regexp_split_to_array(text, '\\s+'),
+            w -> list_contains({_STOP_EN}, w))) * 1000
+          / len(regexp_split_to_array(text, '\\s+')) >= 10) AS keep
+FROM documents
+""",
+)
+
+_LANGS_DESC = sorted(STOPWORDS)
+
+_register(
+    "language_id",
+    TS.language_id,
+    f"""
+WITH s AS (
+  SELECT doc_id, lang AS labeled_lang, {_lang_scores_sql()} FROM documents
+)
+SELECT doc_id, labeled_lang,
+       greatest({', '.join('s_' + l for l in _LANGS_DESC)}) AS best_score,
+       CASE {' '.join(
+           f"WHEN greatest({', '.join('s_' + x for x in _LANGS_DESC)}) > 0 "
+           f"AND s_{l} = greatest("
+           + ', '.join('s_' + x for x in _LANGS_DESC)
+           + f") THEN '{l}'" for l in _LANGS_DESC)}
+       ELSE 'und' END AS pred_lang
+FROM s
+""",
+)
+
+_NORM_SQL = r"regexp_replace(lower(text), '\s+', ' ', 'g')"
+
+_register(
+    "fingerprints",
+    TS.fingerprints,
+    f"""
+SELECT doc_id,
+       md5({_NORM_SQL}) AS fp_md5,
+       {_MD5INT.format(expr=_NORM_SQL)} AS fp_int
+FROM documents
+""",
+)
+
+# --- dedup ---------------------------------------------------------------------
+
+_register(
+    "exact_dedup",
+    D.exact_dedup,
+    r"""
+SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+)
+
+_register(
+    "ngram_jaccard",
+    lambda spark, sf: D.ngram_jaccard_pairs(spark, sf, threshold_x1000=100),
+    f"""
+WITH {_SH_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh c ON a.shingle = c.shingle AND a.doc_id < c.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       sa.n + sb.n - n_inter AS n_union,
+       CAST(floor(n_inter * 1000 / (sa.n + sb.n - n_inter)) AS BIGINT)
+         AS jaccard_x1000
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(floor(n_inter * 1000 / (sa.n + sb.n - n_inter)) AS BIGINT) >= 100
+""",
+)
+
+_register(
+    "minhash_signatures",
+    D.minhash_signatures,
+    f"WITH {_MH_CTE} SELECT * FROM mh",
+)
+
+_register(
+    "minhash_lsh_pairs",
+    D.minhash_lsh_pairs,
+    f"""
+WITH {_MH_CTE},
+b AS (
+{_BANDS_SQL}
+)
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+FROM b a JOIN b c
+  ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+""",
+)
+
+_register(
+    "embedding_neardup",
+    D.embedding_neardup_pairs,
+    f"""
+WITH {_Q_CTE}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE CAST(list_dot_product(list_transform(a.qv, x -> CAST(x AS DOUBLE)),
+                            list_transform(b.qv, x -> CAST(x AS DOUBLE)))
+           AS BIGINT) > 0
+  AND CAST(list_dot_product(list_transform(a.qv, x -> CAST(x AS DOUBLE)),
+                            list_transform(b.qv, x -> CAST(x AS DOUBLE)))
+           AS BIGINT)
+      * CAST(list_dot_product(list_transform(a.qv, x -> CAST(x AS DOUBLE)),
+                              list_transform(b.qv, x -> CAST(x AS DOUBLE)))
+             AS BIGINT) * 25
+      >= 4 * a.norm2 * b.norm2
+""",
+)
+
+# --- similarity search ----------------------------------------------------------
+
+_register(
+    "ann_brute_force",
+    S.brute_force_topk,
+    f"""
+WITH {_Q_CTE},
+scored AS (
+  SELECT qr.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(list_dot_product(
+           list_transform(qr.qv, x -> CAST(x AS DOUBLE)),
+           list_transform(c.qv, x -> CAST(x AS DOUBLE))) AS DOUBLE)
+         / sqrt(CAST(qr.norm2 AS DOUBLE) * CAST(c.norm2 AS DOUBLE)) AS cos
+  FROM n qr JOIN n c ON c.vec_id != qr.vec_id
+  WHERE qr.vec_id < {S.N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, cand_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, cand_id, CAST(rn AS INT) AS rank,
+       round(cos, 6) AS cos_r6
+FROM ranked WHERE rn <= {S.TOP_K}
+""",
+)
+
+_register("ann_lsh", S.lsh_topk)  # bucketed variant: rows-only + pytest recall
+
+# --- multimodal (plumbing; header metadata is oracle-checkable) ------------------
+
+
+def _media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.multimodal import extract_media_meta, synth_media
+
+    return extract_media_meta(synth_media(spark, sf_dir))
+
+
+_register(
+    "media_meta",
+    _media_meta,
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS media_type,
+       CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+       CAST(doc_id % 480 + 16 AS INT) AS height,
+       octet_length(encode(text)) + 12 AS n_bytes,
+       TRUE AS valid
+FROM documents
+""",
+)
+
+
+def _resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.multimodal import resize_plan, synth_media
+
+    return resize_plan(synth_media(spark, sf_dir))
+
+
+_register(
+    "media_resize_plan",
+    _resize_plan,
+    """
+WITH m AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+         CAST(doc_id % 480 + 16 AS INT) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(floor(width * 256 / greatest(width, height)) AS INT) AS target_w,
+       CAST(floor(height * 256 / greatest(width, height)) AS INT) AS target_h
+FROM m
+""",
+)
+
+_register("simhash", D.simhash)  # bit-majority: rows-only + pytest reference

@@ -1,0 +1,108 @@
+"""Training-data ops: dedup / similarity / textstats / multimodal."""
+
+from __future__ import annotations
+
+import pytest
+
+from dpo_ocr_spark.ops.dedup import simhash64_py
+
+SD = "/root/testdata/sf0.001"
+
+
+def test_simhash_reference_properties():
+    a = simhash64_py("the quick brown fox".split())
+    b = simhash64_py("the quick brown fox".split())
+    c = simhash64_py("the quick brown foxes jumped".split())
+    d = simhash64_py("completely different words entirely".split())
+    assert a == b  # deterministic
+    ham_ac = bin(a ^ c).count("1")
+    ham_ad = bin(a ^ d).count("1")
+    assert ham_ac < ham_ad  # similar texts → closer fingerprints
+    assert 0 <= a < 2**64
+
+
+def test_simhash_spark_matches_python(spark):
+    import duckdb
+
+    from dpo_ocr_spark.ops.dedup import simhash
+
+    got = {r.doc_id: (r.simhash_hi << 32) | r.simhash_lo
+           for r in simhash(spark, SD).collect()}
+    rows = duckdb.sql(
+        f"select doc_id, text from '{SD}/documents.parquet' limit 20"
+    ).fetchall()
+    for doc_id, text in rows:
+        assert got[doc_id] == simhash64_py(text.lower().split())
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    """Bucketed ANN must find a decent share of true top-k neighbors and
+    must never invent a candidate that brute force scores differently."""
+    from dpo_ocr_spark.ops.similarity import brute_force_topk, lsh_topk
+
+    bf = {(r.query_id, r.cand_id): r.cos_r6
+          for r in brute_force_topk(spark, SD).collect()}
+    lsh = {(r.query_id, r.cand_id): r.cos_r6
+           for r in lsh_topk(spark, SD).collect()}
+    assert lsh, "LSH returned nothing"
+    # every LSH pair's cosine must agree with an exact recompute (subset
+    # of brute force when in its top-k; otherwise at least consistent)
+    overlap = set(bf) & set(lsh)
+    for k in overlap:
+        assert bf[k] == lsh[k]
+    # recall over the true top-k pairs (8 hyperplanes on 500 vecs —
+    # modest recall is expected; this guards against total misses)
+    recall = len(overlap) / len(bf)
+    assert recall >= 0.1, f"LSH recall collapsed: {recall}"
+
+
+def test_exact_dedup_partitions_docs(spark):
+    from dpo_ocr_spark.ops.dedup import exact_dedup
+
+    out = exact_dedup(spark, SD).collect()
+    total = sum(r.n_dups for r in out)
+    n_docs = spark.read.parquet(f"{SD}/documents.parquet").count()
+    assert total == n_docs  # every doc in exactly one group
+
+
+def test_minhash_lsh_supersets_high_jaccard(spark):
+    """Pairs with very high exact Jaccard should collide in some band
+    (b=4, r=3: P[collide] = 1-(1-j^3)^4 ≈ 97% at j=0.9)."""
+    from dpo_ocr_spark.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    high = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(spark, SD, threshold_x1000=900).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(spark, SD).collect()}
+    missed = high - lsh
+    assert len(missed) <= max(1, len(high) // 5), (
+        f"LSH missed too many near-identical pairs: {missed}"
+    )
+
+
+def test_media_header_roundtrip(spark):
+    from dpo_ocr_spark.ops.multimodal import (
+        decode_stub,
+        extract_media_meta,
+        synth_media,
+    )
+
+    media = synth_media(spark, SD)
+    meta = extract_media_meta(media).collect()
+    assert all(m.valid for m in meta)
+    assert all(16 <= m.width < 656 and 16 <= m.height < 496 for m in meta)
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"MM01whatever")
+
+
+def test_quality_keep_flag(spark):
+    from dpo_ocr_spark.ops.textstats import quality_scores
+
+    out = quality_scores(spark, SD).collect()
+    assert out
+    for r in out:
+        if r.keep:
+            # keep ⇒ the stopword-ratio arm of the predicate held
+            assert r.stopword_ratio_x1000 >= 10 or r.n_words == 0
+        assert 0 <= r.punct_ratio_x1000 <= 1000
