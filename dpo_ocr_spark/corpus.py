@@ -165,12 +165,23 @@ def _gen_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
-def build_web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_web_pages(
+    spark: SparkSession, sf_dir: str, partitions: int | None = None
+) -> DataFrame:
     """documents parquet → input_hint-shaped web_pages frame.
 
-    Stays fully distributed: parquet scan → mapInPandas (Arrow batches).
+    ``partitions``: repartition the scan BEFORE the generation UDF — the
+    fixture parquet is a single row-group, so without an explicit exchange
+    every downstream mapInPandas stage would run as ONE task (measured:
+    scaling efficiency 0.4 → fixed by salting ahead of the first Python
+    stage; at real scale this is the salted repartition of the Iceberg
+    scan, see scale.salted_repartition).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang"
     )
+    if partitions:
+        from pyspark.sql import functions as F
+
+        docs = docs.repartition(partitions, F.xxhash64("doc_id"))
     return docs.mapInPandas(_gen_batches, schema=WEB_PAGES)

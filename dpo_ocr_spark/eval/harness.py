@@ -1,0 +1,150 @@
+"""Golden-transcription evaluation harness (SURVEY.md §3.3, §5).
+
+Reproduces the reference's accuracy methodology:
+- golden corpus (ocr_transcription_ento, database/transcription_ento.sql:1-18)
+  → deterministic synthetic golden derived from the same orders/customer
+  rows the label fixture uses (the "human transcription" is the known
+  generation truth);
+- ref/test splits at sizes 0.05-0.5 (ocr_auto_sample,
+  transcription_ento.sql:32-38) — the reference samples with
+  ORDER BY RANDOM() LIMIT n; we pin a deterministic modulo split (same
+  policy, engine-portable);
+- golden long-form unpivot (U2, auto_id_compare.py:58-200);
+- field-level accuracy (A7, ui/app_ento.R:556-620):
+  round(count(matched) * 100.0 / count(golden), 2) per field × size,
+  with match = exact equality (oracle-checkable variant) or pg_trgm
+  word_similarity > 0.8 (J3, the reference's fuzzy variant — rows-only).
+
+The exact-match accuracy on verbatim_date is deliberately < 100%: the
+December/X11 roman quirk makes the auto pipeline miss all December dates,
+and the harness SHOWS that — the metric itself reproduces the reference's
+behavior gap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SIZES = [0.05, 0.1, 0.2, 0.3, 0.4, 0.5]
+
+
+def golden_transcription(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-truth golden per label url (wide form, like the ento table)."""
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 100 == 0)
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return o.select(
+        F.concat(F.lit("label://"), F.col("o_orderkey")).alias("url"),
+        F.col("o_orderkey").alias("k"),
+        F.col("c_name").alias("collector"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("verbatim_date"),
+        F.concat(
+            ((F.col("o_orderkey") % 40) * 100 + 100).cast("string"), F.lit("'")
+        ).alias("elevation"),
+    )
+
+
+def golden_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 unpivot: wide golden → (url, field, data) long form."""
+    g = golden_transcription(spark, sf_dir)
+    return g.select(
+        "url",
+        F.expr(
+            "stack(3, 'collector', collector, 'verbatim_date', verbatim_date,"
+            " 'elevation', elevation) AS (field, data)"
+        ),
+    ).filter(F.col("data").isNotNull())
+
+
+def splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ref/test marks at each reference size: a label url is
+    'ref' for size s iff (k/100) % 100 < s*100 (engine-portable)."""
+    g = golden_transcription(spark, sf_dir).select("url", "k")
+    out = None
+    for s in SIZES:
+        cut = int(s * 100)
+        part = g.select(
+            "url",
+            F.lit(f"{s}").alias("reference_size"),
+            F.when((F.col("k") / 100 % 100) < cut, "ref")
+            .otherwise("test")
+            .alias("ref_or_test"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _auto_long(fields: DataFrame) -> DataFrame:
+    """interpret output → (url, field, auto_value) long form; the
+    reference compares verbatim-ish values, we compare what each field
+    family emits (dates: interpreted; elevation: verbatim; collector:
+    interpreted)."""
+    return (
+        fields.select(
+            "url",
+            F.col("data_type").alias("field"),
+            F.when(F.col("data_type") == "elevation", F.col("verbatim_value"))
+            .otherwise(F.col("interpreted_value"))
+            .alias("auto_value"),
+        )
+        # one row per (url, field): several blocks can emit the same
+        # data_type (e.g. a Y-M-D date and a bare year); keep the max —
+        # deterministic, and the fuller value sorts last
+        .groupBy("url", "field")
+        .agg(F.max("auto_value").alias("auto_value"))
+    )
+
+
+def accuracy(
+    spark: SparkSession,
+    sf_dir: str,
+    fields: DataFrame,
+    fuzzy: bool = False,
+) -> DataFrame:
+    """Per (field, reference_size): pct of golden test-split values the
+    auto pipeline matched.  fuzzy=False → exact equality (oracle-able);
+    fuzzy=True → pg_trgm word_similarity > 0.8 (the reference's J3)."""
+    golden = golden_long(spark, sf_dir)
+    sp = splits(spark, sf_dir).filter(F.col("ref_or_test") == "test")
+    auto = _auto_long(fields)
+    g = golden.join(sp, "url")  # golden × sizes (test rows only)
+    j = g.join(
+        auto,
+        ["url", "field"],
+        "left",
+    )
+    if fuzzy:
+        from ..interpret.fuzzy import word_similarity
+
+        @F.pandas_udf("double")
+        def sim(a, b):  # type: ignore[no-untyped-def]
+            import pandas as pd
+
+            return pd.Series(
+                [
+                    word_similarity(x, y) if (x and y) else 0.0
+                    for x, y in zip(a, b)
+                ]
+            )
+
+        matched = F.when(
+            sim(F.col("data"), F.col("auto_value")) > 0.8, F.col("auto_value")
+        )
+    else:
+        matched = F.when(
+            F.col("auto_value") == F.col("data"), F.col("auto_value")
+        )
+    return (
+        j.select("field", "reference_size", "data", matched.alias("m"))
+        .groupBy("field", "reference_size")
+        .agg(
+            F.round(F.count("m") * 100.0 / F.count("data"), 2).alias(
+                "pct_matched"
+            ),
+            F.count("data").alias("n_golden"),
+            F.count("m").alias("n_matched"),
+        )
+    )

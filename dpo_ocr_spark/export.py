@@ -1,0 +1,144 @@
+"""Structured-export sinks (SURVEY.md S8-S11, C15, C17, §1.4).
+
+- ``span_records``: char-offset span computation against a flattened
+  per-url line, reproducing csv_to_jsonl.py:53-69 faithfully:
+  * ``field_from = line.find(value)`` kept only when ``> 0`` — the
+    reference drops not-found (-1) AND position-0 matches (quirk);
+  * the taxonomy sciname is appended at ``len(line) + 1`` and the line
+    becomes ``line + ' ' + sciname`` (:53-57, :131);
+  all JVM-side (locate/length/concat — no UDF).
+- ``training_jsonl``: the AutoML JSONL shape (:21-25) via ``to_json`` —
+  struct field order matches the reference template exactly, including
+  end_offset BEFORE start_offset.
+- ``tokens_csv`` / ``fulltext_sink`` / ``json_response_sink``: the S8/S10/
+  S9 writers re-expressed as DataFrame writes (14-col CSV schema restated
+  verbatim from run_gvision_ocr.py:173-174).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# the reference's CSV column schema, restated (run_gvision_ocr.py:173-174)
+CSV_COLUMNS = [
+    "word_text", "block", "page", "word", "word_line", "confidence",
+    "vertices_x_0", "vertices_y_0", "vertices_x_1", "vertices_y_1",
+    "vertices_x_2", "vertices_y_2", "vertices_x_3", "vertices_y_3",
+]
+
+
+def flatten_lines(blocks: DataFrame) -> DataFrame:
+    """Per-url flattened line: block texts joined with ' ' in reading
+    order (the csv-row analog the reference computes offsets against)."""
+    arr = F.array_sort(
+        F.collect_list(F.struct("block", "word_line", "block_text"))
+    )
+    return blocks.groupBy("url").agg(
+        F.concat_ws(
+            " ", F.transform(arr, lambda s: s["block_text"])
+        ).alias("line")
+    )
+
+
+def span_records(lines: DataFrame, fields: DataFrame) -> DataFrame:
+    """fields (FIELD schema) × per-url line → span rows.
+
+    start = 0-based find of verbatim_value; kept only when find > 0
+    (instr > 1), the reference's quirk.  Taxonomy rows (verbatim empty)
+    are appended instead: start = len(line)+1, content gets ' '+value."""
+    joined = fields.join(lines, "url")
+    appended = (
+        joined.filter(
+            (F.col("data_type") == "taxonomy")
+            & (F.length(F.coalesce("verbatim_value", F.lit(""))) == 0)
+        )
+        .select(
+            "url",
+            F.col("data_type").alias("field"),
+            (F.length("line") + 1).cast("long").alias("start"),
+            (F.length("line") + 1 + F.length("interpreted_value"))
+            .cast("long")
+            .alias("end"),
+            F.concat(F.col("line"), F.lit(" "), F.col("interpreted_value"))
+            .alias("content"),
+        )
+    )
+    found = (
+        joined.filter(
+            F.length(F.coalesce("verbatim_value", F.lit(""))) > 0
+        )
+        .withColumn("pos", F.instr(F.col("line"), F.col("verbatim_value")))
+        .filter(F.col("pos") > 1)  # reference keeps only find() > 0
+        .select(
+            "url",
+            F.col("data_type").alias("field"),
+            (F.col("pos") - 1).cast("long").alias("start"),
+            (F.col("pos") - 1 + F.length("verbatim_value"))
+            .cast("long")
+            .alias("end"),
+            F.col("line").alias("content"),
+        )
+    )
+    return found.unionByName(appended)
+
+
+def training_jsonl(spans: DataFrame) -> DataFrame:
+    """AutoML entity-extraction JSONL (csv_to_jsonl.py templates):
+    one JSON object per url with all its annotations."""
+    ann = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.struct(
+                    F.struct(
+                        F.col("end").alias("end_offset"),
+                        F.col("start").alias("start_offset"),
+                    ).alias("text_segment")
+                ).alias("text_extraction"),
+                F.col("field").alias("display_name"),
+            )
+        )
+    )
+    per_url = spans.groupBy("url").agg(
+        ann.alias("annotations"),
+        F.max("content").alias("content"),  # appended-sciname variant wins
+    )
+    return per_url.select(
+        "url",
+        F.to_json(
+            F.struct(
+                F.col("annotations"),
+                F.struct(F.col("content")).alias("text_snippet"),
+            )
+        ).alias("jsonl"),
+    )
+
+
+def tokens_csv(tokens: DataFrame, path: str) -> None:
+    """S8: word rows in the reference's 14-column CSV schema.  The
+    reference quotes non-numeric fields (QUOTE_NONNUMERIC,
+    old/ocr_to_csv.py:33); Spark's csv writer quotes on demand — we quote
+    all to stay parseable (documented deviation, values identical)."""
+    out = tokens.select(
+        "word_text", "block", "page", "word", "word_line", "confidence",
+        *[
+            F.coalesce(F.element_at("bbox", i + 1), F.lit(0)).alias(c)
+            for i, c in enumerate(CSV_COLUMNS[6:])
+        ],
+    )
+    out.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(path)
+
+
+def fulltext_sink(extracted: DataFrame, path: str) -> None:
+    """S10: per-url assembled text (the primary correctness artifact)."""
+    extracted.select("url", "text").write.mode("overwrite").parquet(path)
+
+
+def json_response_sink(extracted: DataFrame, path: str) -> None:
+    """S9: raw structured response per url as JSON lines."""
+    extracted.select(
+        F.to_json(
+            F.struct("url", "payload_kind", "text", "n_tokens", "tokens")
+        ).alias("value")
+    ).write.mode("overwrite").text(path)

@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame, SparkSession
 from .assemble import assemble_blocks, explode_tokens
 from .corpus import build_web_pages
 from .extract import extract_pages
-from .scale import salted_repartition
 
 
 def run_extraction(
@@ -22,10 +21,14 @@ def run_extraction(
     sf_dir: str,
     salt_partitions: int | None = None,
 ) -> DataFrame:
-    """documents parquet → EXTRACT_RESULT frame (one row per url)."""
-    pages = build_web_pages(spark, sf_dir)
-    if salt_partitions:
-        pages = salted_repartition(pages, salt_partitions)
+    """documents parquet → EXTRACT_RESULT frame (one row per url).
+
+    The salt exchange happens BEFORE the first Python stage (inside
+    build_web_pages) so generation and decode pipeline together across all
+    cores with no shuffle in between."""
+    if salt_partitions is None:
+        salt_partitions = spark.sparkContext.defaultParallelism * 2
+    pages = build_web_pages(spark, sf_dir, partitions=salt_partitions)
     return extract_pages(pages)
 
 
