@@ -199,3 +199,170 @@ def _q_training_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("training_jsonl", _q_training_jsonl)  # JSON shape — rows-only
+
+
+# --- zonal extraction (J8 + pivot) --------------------------------------------
+
+_ZONE_CTE = """
+ztok AS (
+  -- reconstruct layout-doc word geometry from the corpus contract:
+  -- x advances by 8*len(word)+8 per word within a line, y = 24*line
+  SELECT url, block AS line_idx, word, widx,
+         COALESCE(SUM(8 * length(word) + 8) OVER (
+           PARTITION BY doc_id, block ORDER BY widx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wx0
+  FROM tok WHERE doc_id % 5 = 4
+),
+zcell AS (
+  SELECT url,
+         CASE WHEN wx0 >= 320 THEN 'right_col'
+              WHEN wx0 + 8 * length(word) < 320 THEN 'left_col'
+         END AS field_name,
+         line_idx AS row_no, word, widx
+  FROM ztok WHERE line_idx < 3
+)
+"""
+
+
+def _zonal_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .assemble import explode_tokens
+    from .pipeline import run_extraction
+
+    return explode_tokens(run_extraction(spark, sf_dir))
+
+
+def _q_zonal_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .zones import zonal_data, zone_template
+
+    return zonal_data(_zonal_tokens(spark, sf_dir), zone_template(spark))
+
+
+def _q_zonal_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .zones import zonal_data, zonal_pivot, zone_template
+
+    cells = zonal_data(_zonal_tokens(spark, sf_dir), zone_template(spark))
+    return zonal_pivot(cells)
+
+
+def _register_zonal() -> None:
+    from .queries import _TOKENS_CTE
+
+    _register(
+        "zonal_cells",
+        _q_zonal_cells,
+        f"""
+WITH {_TOKENS_CTE}, {_ZONE_CTE}
+SELECT url,
+       'z' || CAST(row_no AS VARCHAR)
+           || CASE field_name WHEN 'left_col' THEN 'L' ELSE 'R' END
+         AS zone_id,
+       field_name, CAST(row_no AS INT) AS row_no,
+       ' ' AS word_separator,
+       string_agg(word, ' ' ORDER BY widx) AS cell_text,
+       COUNT(*) AS n_words
+FROM zcell WHERE field_name IS NOT NULL
+GROUP BY url, field_name, row_no
+""",
+    )
+    _register(
+        "zonal_pivot",
+        _q_zonal_pivot,
+        f"""
+WITH {_TOKENS_CTE}, {_ZONE_CTE},
+cells AS (
+  SELECT url, field_name, row_no,
+         string_agg(word, ' ' ORDER BY widx) AS cell_text
+  FROM zcell WHERE field_name IS NOT NULL
+  GROUP BY url, field_name, row_no
+)
+SELECT url, CAST(row_no AS INT) AS row_no,
+       max(CASE WHEN field_name = 'left_col' THEN cell_text END) AS left_col,
+       max(CASE WHEN field_name = 'right_col' THEN cell_text END) AS right_col
+FROM cells GROUP BY url, row_no
+""",
+    )
+
+
+_register_zonal()
+
+
+# --- QA summary queries (ui/app.R:103-186 family) -------------------------------
+
+
+def _q_url_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+A2+A3: per-url token stats — mean confidence (integer-exact),
+    'successful OCR' count at the 0.7 floor (ui/app.R:109-130)."""
+    from pyspark.sql import functions as F
+
+    t = _zonal_tokens(spark, sf_dir)
+    conf_x100 = F.round(F.col("confidence") * 100).cast("long")
+    return t.groupBy("url").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(conf_x100).alias("conf_sum_x100"),
+        F.sum(F.when(conf_x100 >= 70, 1).otherwise(0)).alias("n_ok"),
+    )
+
+
+def _q_conf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: 40-bin confidence histogram (ui/app.R:457-466), bins computed
+    from the exact integer form to stay engine-identical."""
+    from pyspark.sql import functions as F
+
+    t = _zonal_tokens(spark, sf_dir)
+    bucket = F.floor(
+        F.round(F.col("confidence") * 100).cast("long") * 40 / 100
+    ).cast("int")
+    return t.groupBy(bucket.alias("bin")).agg(F.count("*").alias("n"))
+
+
+def _register_qa() -> None:
+    from .queries import _TOKENS_CTE
+
+    _register(
+        "url_confidence",
+        _q_url_confidence,
+        f"""
+WITH {_TOKENS_CTE}
+SELECT url, COUNT(*) AS n_tokens,
+       CAST(SUM(conf_x100) AS BIGINT) AS conf_sum_x100,
+       CAST(SUM(CASE WHEN conf_x100 >= 70 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ok
+FROM tok GROUP BY url
+""",
+    )
+    _register(
+        "conf_histogram",
+        _q_conf_histogram,
+        f"""
+WITH {_TOKENS_CTE}
+SELECT CAST(floor(conf_x100 * 40 / 100) AS INT) AS bin,
+       COUNT(*) AS n
+FROM tok GROUP BY 1
+""",
+    )
+
+
+_register_qa()
+
+
+# --- streaming (AvailableNow drain; equivalence checked in pytest) ---------------
+
+
+def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming drain of the corpus through the SAME
+    extraction stage; result must equal the batch path (rows-only here;
+    byte-equivalence asserted in tests/test_streaming.py)."""
+    import tempfile
+
+    from .corpus import build_web_pages
+    from .streaming.stream import stream_extract
+
+    tmp = tempfile.mkdtemp(prefix="stream_src_")
+    build_web_pages(spark, sf_dir, partitions=8).write.mode(
+        "overwrite"
+    ).parquet(tmp + "/src")
+    stream_extract(spark, tmp + "/src", tmp + "/ckpt", "stream_extracted_q")
+    return spark.table("stream_extracted_q").select("url", "text")
+
+
+_register("streaming_extract", _q_streaming_extract)
