@@ -117,15 +117,21 @@ def ngram_jaccard_pairs(
     )
 
 
+_MERSENNE31 = 2_147_483_647
+
+
 def _minhash_cols() -> list[F.Column]:
-    """k md5-derived minhashes: min over shingles of int(md5(i || shingle)).
-    Engine-portable: DuckDB computes the identical md5/hex-int."""
+    """k minhashes from ONE md5 per shingle (12 md5s/shingle was the
+    measured sf0.1 hot spot: 90s → universal-hash derivation
+    h_i = (a_i·base + b_i) mod 2³¹−1 from base = md5int(shingle) mod 2³¹−1.
+    Engine-portable: DuckDB computes the identical md5/hex-int/modulo."""
+    base = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("long") % _MERSENNE31
+    )
     cols = []
     for i in range(MINHASH_K):
-        h = F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 15),
-            16, 10,
-        ).cast("long")
+        h = (base * (2 * i + 3) + i * 7 + 1) % _MERSENNE31
         cols.append(F.min(h).alias(f"mh_{i}"))
     return cols
 

@@ -14,6 +14,9 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from .dedup import _QUANT
@@ -87,38 +90,61 @@ def brute_force_topk(
     )
 
 
-def _bucket_col(qcol: str, table: int) -> F.Column:
-    """Sign-bucket of one LSH table: bit i = (dot(v, plane_{t,i}) > 0).
-    Plane components are md5-derived ±1 per (table, plane, dim) —
-    deterministic on any engine, no RNG."""
-    bits = []
-    for p in range(LSH_PLANES):
-        # plane vector h[d] = +1 iff md5("t:p|d") leading hex nibble ≥ 8
-        signed = F.expr(
-            f"aggregate(zip_with({qcol}, sequence(0, size({qcol})-1), "
-            f"(x, d) -> CASE WHEN substring(md5(concat('{table}:{p}|', d)), "
-            f"1, 1) IN ('8','9','a','b','c','d','e','f') THEN x ELSE -x END), "
-            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        )
-        bits.append(F.when(signed > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def _plane_signs(table: int, plane: int, dims: int) -> list[int]:
+    """Deterministic ±1 plane components: sign = md5(f"{t}:{p}|{d}")
+    leading nibble ≥ 8.  Computed ONCE driver-side (hashlib) and shipped
+    as an array literal sized to the actual embedding dim — the runtime
+    expression is pure arithmetic (4M in-query md5 calls were the
+    measured ann_lsh hot spot)."""
+    import hashlib
+
+    return [
+        1
+        if int(hashlib.md5(f"{table}:{plane}|{d}".encode()).hexdigest()[0], 16) >= 8
+        else -1
+        for d in range(dims)
+    ]
+
+
+def _all_buckets_udf(dims: int):
+    """All LSH-table buckets in ONE vectorized matmul per Arrow batch:
+    X(batch×dims) @ M(dims×(tables·planes)) → sign bits → per-table
+    bucket ints.  (The expression-tree form — 32 interpreted higher-order
+    folds over literal arrays — was the measured cold-start hot spot.)"""
+    from pyspark.sql import types as T
+
+    M = np.array(
+        [
+            _plane_signs(t, p, dims)
+            for t in range(LSH_TABLES)
+            for p in range(LSH_PLANES)
+        ],
+        dtype=np.int64,
+    ).T  # dims × (tables·planes)
+    weights = (1 << np.arange(LSH_PLANES, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(qs: pd.Series) -> pd.Series:
+        X = np.stack(qs.to_numpy())  # batch × dims
+        bits = (X @ M) > 0  # batch × (tables·planes)
+        bits = bits.reshape(len(X), LSH_TABLES, LSH_PLANES)
+        vals = (bits * weights).sum(axis=2).astype("int32")  # batch × tables
+        return pd.Series(list(vals))
+
+    return buckets
 
 
 def lsh_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """Multi-table bucketed ANN: candidates = union over tables of
     same-bucket rows, exact cosine re-rank within candidates."""
     emb = _emb(spark, sf_dir)
-    tabbed = None
-    for t in range(LSH_TABLES):
-        part = emb.select(
-            "vec_id", "q", "norm2",
-            F.lit(t).alias("tbl"),
-            _bucket_col("q", t).alias("bucket"),
-        )
-        tabbed = part if tabbed is None else tabbed.unionByName(part)
+    dims = len(emb.select("q").first().q)  # metadata lookup, driver-side
+    # all table buckets in ONE pass over one scan (an 8-way union re-read
+    # the parquet 8× — measured), then posexplode to (tbl, bucket) rows
+    tabbed = emb.select(
+        "vec_id", "q", "norm2",
+        F.posexplode(_all_buckets_udf(dims)("q")).alias("tbl", "bucket"),
+    )
     queries = tabbed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qv"),

@@ -366,3 +366,118 @@ def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("streaming_extract", _q_streaming_extract)
+
+
+# --- crop-rect planning (I4 + A5 + C13) ------------------------------------------
+
+
+def _q_crop_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crop-to-text + buffer + clamp (run_gvision_ocr.py:390-415,
+    old/ocr_to_csv.py:56-69): per-url min/max envelope of word quads,
+    padded by BUF, clamped to the page box via greatest/least."""
+    from pyspark.sql import functions as F
+
+    BUF, PAGE_W, PAGE_H = 10, 2000, 100
+    t = _zonal_tokens(spark, sf_dir).filter(F.col("bbox").isNotNull())
+    env = t.groupBy("url").agg(
+        F.min(F.element_at("bbox", 1)).alias("x0"),
+        F.min(F.element_at("bbox", 2)).alias("y0"),
+        F.max(F.element_at("bbox", 5)).alias("x1"),
+        F.max(F.element_at("bbox", 6)).alias("y1"),
+    )
+    return env.select(
+        "url",
+        F.greatest(F.col("x0") - BUF, F.lit(0)).alias("crop_x0"),
+        F.greatest(F.col("y0") - BUF, F.lit(0)).alias("crop_y0"),
+        F.least(F.col("x1") + BUF, F.lit(PAGE_W)).alias("crop_x1"),
+        F.least(F.col("y1") + BUF, F.lit(PAGE_H)).alias("crop_y1"),
+    )
+
+
+def _q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity summary in ONE pass via rollup (SURVEY.md §2.4
+    note: the reference runs separate queries per grain, ui/app.R:103-186;
+    rollup is the idiomatic single-pass Spark form)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "qty",
+        )
+    )
+
+
+def _q_scalar_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10/C11/C12 scalar-function chain: concat_ws, replace, initcap,
+    round, cast — the reference's string-cleanup idioms
+    (block_identification.py:206-233, ui/app.R:388)."""
+    from pyspark.sql import functions as F
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "n_nationkey",
+            F.lower(
+                F.regexp_replace(
+                    F.concat_ws(", ", "n_name", "r_name"), " EAST", " East."
+                )
+            ).alias("pretty"),
+            F.round(F.col("n_nationkey") * 1.5, 2).cast("double").alias("score"),
+            F.col("n_nationkey").cast("string").alias("key_str"),
+        )
+    )
+
+
+def _register_misc() -> None:
+    from .queries import _TOKENS_CTE
+
+    _register(
+        "crop_rects",
+        _q_crop_rects,
+        f"""
+WITH {_TOKENS_CTE}, {_ZONE_CTE}
+SELECT url,
+       greatest(MIN(wx0) - 10, 0) AS crop_x0,
+       greatest(MIN(line_idx * 24) - 10, 0) AS crop_y0,
+       least(MAX(wx0 + 8 * length(word)) + 10, 2000) AS crop_x1,
+       least(MAX(line_idx * 24 + 18) + 10, 100) AS crop_y1
+FROM ztok GROUP BY url
+""",
+    )
+    _register(
+        "rollup_summary",
+        _q_rollup_summary,
+        """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       COALESCE(l_linestatus, 'ALL') AS ls,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    )
+    _register(
+        "scalar_chain",
+        _q_scalar_chain,
+        """
+SELECT n_nationkey,
+       lower(replace(n_name || ', ' || r_name, ' EAST', ' East.'))
+         AS pretty,
+       CAST(round(n_nationkey * 1.5, 2) AS DOUBLE) AS score,
+       CAST(n_nationkey AS VARCHAR) AS key_str
+FROM nation JOIN region ON n_regionkey = r_regionkey
+""",
+    )
+
+
+_register_misc()

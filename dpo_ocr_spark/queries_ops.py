@@ -42,8 +42,10 @@ sh AS (
 
 _MD5INT = "CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
+# one md5 per shingle, k universal-hash derivations (see ops/dedup.py)
+_MH_BASE = "(" + _MD5INT.format(expr="shingle") + " % 2147483647)"
 _MH_COLS = ", ".join(
-    "MIN(" + _MD5INT.format(expr=f"concat('{i}|', shingle)") + f") AS mh_{i}"
+    f"MIN(({_MH_BASE} * {2 * i + 3} + {i * 7 + 1}) % 2147483647) AS mh_{i}"
     for i in range(MINHASH_K)
 )
 _MH_CTE = _SH_CTE + f""",
