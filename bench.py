@@ -289,6 +289,9 @@ machine's own ceiling, framework-free:
 | 32 | {ctl[32]} |
 
 Control efficiency {lo}→{hi}: **{eff_ctl:.3f}**.
+(E > 1 for Spark, when it occurs, is the fixed JVM/driver/Python-worker
+overhead weighing proportionally more at N cores than at 4N — the
+conservative reading is min(E, 1.0).)
 Control efficiency {hi}→32: **{ctl_832:.3f}** — this VM is
 memory-bandwidth-bound above ~8 concurrent Python decode processes;
 Spark {hi}→32 measures {eff_832:.3f} against the same wall.  The N→4N
