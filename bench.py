@@ -78,8 +78,14 @@ def stage_corpus(spark, sf_dir: str, copies: int) -> str:
     return path
 
 
-def run_extraction_bench(spark, sf_dir: str, copies: int) -> dict:
-    """Full decode+assemble pass; returns timing + docs/sec + MB/sec."""
+def run_extraction_bench(spark, sf_dir: str, copies: int, passes: int = 1) -> dict:
+    """Full decode+assemble pass; returns timing + docs/sec + MB/sec.
+
+    ``passes`` > 1 reports the median wall time per stage — single-pass
+    numbers on this VM vary ±40% from GC/page-cache state (measured),
+    which is noise, not signal, for the scaling-efficiency evidence."""
+    import statistics
+
     from pyspark.sql import functions as F
 
     from dpo_ocr_spark.assemble import assemble_blocks, explode_tokens
@@ -93,14 +99,18 @@ def run_extraction_bench(spark, sf_dir: str, copies: int) -> dict:
     # deployment (salting happens once at ingest, not per job)
     pages = spark.read.parquet(path)
     extracted = extract_pages(pages)
-    t0 = time.time()
-    agg = extracted.agg(
-        F.count("*").alias("docs"), F.sum("n_bytes").alias("bytes")
-    ).collect()[0]
-    t_extract = time.time() - t0
-    t0 = time.time()
-    n_blocks = assemble_blocks(explode_tokens(extracted)).count()
-    t_assemble = time.time() - t0
+    t_ex, t_as = [], []
+    for _ in range(passes):
+        t0 = time.time()
+        agg = extracted.agg(
+            F.count("*").alias("docs"), F.sum("n_bytes").alias("bytes")
+        ).collect()[0]
+        t_ex.append(time.time() - t0)
+        t0 = time.time()
+        n_blocks = assemble_blocks(explode_tokens(extracted)).count()
+        t_as.append(time.time() - t0)
+    t_extract = statistics.median(t_ex)
+    t_assemble = statistics.median(t_as)
     return {
         "docs": int(agg.docs),
         "mb": round(agg.bytes / 1e6, 2),
@@ -183,9 +193,9 @@ def _one_scaling_run(cpus: int) -> dict:
         "{'spark.sql.files.maxPartitionBytes': '4m',"
         " 'spark.sql.files.openCostInBytes': '0'})\n"
         f"bench.CPUS = {cpus}\n"
-        "# warm-up pass (JVM/JIT), then the measured pass\n"
+        "# warm-up pass (JVM/JIT), then median of 3 measured passes\n"
         f"bench.run_extraction_bench(spark, '{SF_DIR}', {REPLICATE})\n"
-        f"r = bench.run_extraction_bench(spark, '{SF_DIR}', {REPLICATE})\n"
+        f"r = bench.run_extraction_bench(spark, '{SF_DIR}', {REPLICATE}, passes=3)\n"
         "print('RESULT ' + json.dumps(r))\n"
     )
     out = subprocess.run(
@@ -261,7 +271,8 @@ documents ×{REPLICATE} replication ({r_lo['docs']} docs,
 Measured job = parquet scan → Arrow decode (boilerplate strip / layout
 parse) → aggregate: ONE Python stage, no shuffle (the scan→decode shape
 of the real deployment; salting happens at ingest).  Warm-up pass
-discarded, fresh JVM per parallelism level.
+discarded, then median of 3 measured passes (single passes vary ±40%
+from GC/page-cache state on this VM), fresh JVM per parallelism level.
 
 ## Spark extraction throughput
 

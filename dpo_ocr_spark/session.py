@@ -13,9 +13,15 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Arrow batches carry raw page payloads (potentially ~100 KB each at real
-# scale); cap records/batch so a batch stays ~tens of MB.
-ARROW_MAX_RECORDS = 2048
+# Row cap on Arrow batches. Per-batch IPC overhead dominated the decode
+# stage at 2048 rows (local[32]: 17.9k docs/s vs ~48k at 8192+); above
+# 8192 extraction gains ~5% more but the big pinned batches GC-destabilize
+# the downstream explode+shuffle (assemble at local[32]: 13-26s vs 5-12s)
+# — 8192 is the measured sweet spot. Memory safety against fat payloads
+# (~1 MB pages at real scale) is NOT this knob's job — the extraction
+# stage byte-bounds its own batches (stage_arrow.TARGET_PAYLOAD_BYTES,
+# zero-copy slicing), so the row cap stays payload-agnostic.
+ARROW_MAX_RECORDS = 8192
 
 
 def get_spark(

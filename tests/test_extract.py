@@ -104,3 +104,76 @@ def test_layout_block_bbox_envelope():
         ys = [v for t in tokens if t[1] == b for v in t[7][1::2]]
         assert bbox[0] == min(xs) and bbox[2] == max(xs)
         assert bbox[1] == min(ys) and bbox[5] == max(ys)
+
+
+def test_arrow_stage_equivalence(spark):
+    """The mapInArrow fast path is row-identical to the mapInPandas
+    reference implementation (same EXTRACT_RESULT schema, same values)."""
+    from dpo_ocr_spark.corpus import build_web_pages
+    from dpo_ocr_spark.extract import extract_pages_arrow, extract_pages_pandas
+
+    pages = build_web_pages(spark, "/root/testdata/sf0.001")
+    a = extract_pages_pandas(pages)
+    b = extract_pages_arrow(pages)
+    assert a.schema == b.schema
+    assert sorted(map(repr, a.collect())) == sorted(map(repr, b.collect()))
+
+
+def test_adversarial_payloads_quarantined(spark):
+    """Malformed payloads yield payload_kind='error' rows, never a job
+    abort (at 10^12 rows a single bad page must not kill the task) —
+    through the default (Arrow) path."""
+    from datetime import datetime
+
+    from dpo_ocr_spark.extract import extract_pages
+    from dpo_ocr_spark.schemas import WEB_PAGES
+
+    ts = datetime(2024, 1, 1)
+    bad = spark.createDataFrame(
+        [
+            ("a", ts, b"{not valid json", None, "en"),
+            ("b", ts, None, None, None),
+            ("c", ts, None, "pre-extracted text", "en"),
+            ("d", ts, b"\xff\xfe\x00garbage<p>x", None, "en"),
+            ("e", ts, b"<html><p>unclosed", None, "en"),
+            ("f", ts, b"", "fallback", "en"),
+        ],
+        schema=WEB_PAGES,
+    )
+    rows = {r.url: r for r in extract_pages(bad).collect()}
+    assert rows["a"].payload_kind == "error" and rows["a"].text is None
+    assert rows["b"].payload_kind == "text" and rows["b"].text == ""
+    assert rows["c"].text == "pre-extracted text"
+    assert rows["d"].payload_kind == "html"  # decodable w/ errors=replace
+    assert rows["e"].payload_kind == "html" and "unclosed" in rows["e"].text
+    assert rows["f"].text == "fallback"
+
+
+def test_byte_bounded_rebatching(monkeypatch):
+    """Oversized incoming Arrow batches are sliced (zero-copy) to the
+    payload-byte target before decode; row content is preserved."""
+    import pyarrow as pa
+
+    from dpo_ocr_spark.extract import stage_arrow
+
+    monkeypatch.setattr(stage_arrow, "TARGET_PAYLOAD_BYTES", 1000)
+    payloads = [b"<p>" + bytes([65 + i % 26]) * 300 + b"</p>" for i in range(12)]
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([f"u{i}" for i in range(12)]),
+            pa.array([None] * 12, pa.timestamp("us", tz="UTC")),
+            pa.array(payloads, pa.binary()),
+            pa.array([None] * 12, pa.string()),
+            pa.array(["en"] * 12),
+        ],
+        names=["url", "warc_ts", "html", "text", "lang"],
+    )
+    slices = list(stage_arrow._byte_bounded(iter([batch])))
+    assert len(slices) > 1
+    assert sum(s.num_rows for s in slices) == 12
+    out = list(stage_arrow._extract_batches_arrow(iter([batch])))
+    urls = [u for b in out for u in b.column("url").to_pylist()]
+    assert urls == [f"u{i}" for i in range(12)]
+    # singleton rows never split even when over target
+    one = batch.slice(0, 1)
+    assert [s.num_rows for s in stage_arrow._byte_bounded(iter([one]))] == [1]
