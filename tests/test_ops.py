@@ -106,3 +106,14 @@ def test_quality_keep_flag(spark):
             # keep ⇒ the stopword-ratio arm of the predicate held
             assert r.stopword_ratio_x1000 >= 10 or r.n_words == 0
         assert 0 <= r.punct_ratio_x1000 <= 1000
+
+
+def test_shingle_kernel_equivalence(spark):
+    """The Arrow shingle kernel is row-identical to the pure-SQL
+    reference definition (same ASCII-\\s normalization, same clipped
+    slices, same first-occurrence distinct)."""
+    from dpo_ocr_spark.ops import dedup as D
+
+    sql_rows = sorted(map(tuple, D.shingle_frame_sql(spark, SD).collect()))
+    py_rows = sorted(map(tuple, D.shingle_frame(spark, SD).collect()))
+    assert py_rows == sql_rows
