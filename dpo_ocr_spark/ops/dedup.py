@@ -35,7 +35,11 @@ _QUANT = 1_000
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..scale import ensure_parallelism
+
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 
 def _norm_text() -> F.Column:

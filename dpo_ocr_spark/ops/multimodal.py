@@ -47,7 +47,11 @@ META_SCHEMA = T.StructType(
 def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake media column from document text bytes: width =
     n_chars % 640 + 16, height = doc_id % 480 + 16."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..scale import ensure_parallelism
+
+    docs = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

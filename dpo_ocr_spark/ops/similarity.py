@@ -31,7 +31,11 @@ LSH_PLANES = 4  # 2^4 buckets per table
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from ..scale import ensure_parallelism
+
+    df = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
     q = F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * _QUANT).cast("long"),

@@ -32,7 +32,11 @@ SUBWORD_REGEX = r"[a-z]{1,4}|[A-Z][a-z]{0,3}|\d{1,4}|[^\sa-zA-Z0-9]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..scale import ensure_parallelism
+
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -62,3 +62,20 @@ def resume_filter(pages: DataFrame, lineage_done: DataFrame) -> DataFrame:
     return pages.join(
         max_wm, pages["warc_ts"] > max_wm["wm"], "left_semi"
     )
+
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Guarantee a frame enters its compute stage with ≥ core-count
+    partitions; no-op when the scan already splits enough.
+
+    Why: parquet splits at ROW-GROUP granularity — a single-row-group
+    file scans as ONE task, and every downstream narrow stage (JVM or
+    Arrow-UDF) inherits that 1-task parallelism. Local fixtures are
+    single-group files, so this fires there; at production scale an
+    Iceberg table scans as thousands of splits and this is a metadata
+    check only (never a 100 TB shuffle)."""
+    spark = df.sparkSession
+    min_parts = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_parts:
+        return df.repartition(min_parts)
+    return df
