@@ -39,7 +39,7 @@ def _replicated_pages(spark, sf_dir: str, copies: int):
     repartition would leave generation on the parquet's single task)."""
     from pyspark.sql import functions as F
 
-    from dpo_ocr_spark.corpus import WEB_PAGES, _gen_batches
+    from dpo_ocr_spark.corpus import WEB_PAGES, _gen_batches_arrow
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang"
@@ -55,7 +55,7 @@ def _replicated_pages(spark, sf_dir: str, copies: int):
         )
         .repartition(CPUS * 2, F.xxhash64("doc_id"))
     )
-    return replicated.mapInPandas(_gen_batches, schema=WEB_PAGES)
+    return replicated.mapInArrow(_gen_batches_arrow, schema=WEB_PAGES)
 
 
 CORPUS_CACHE = "/tmp/spark_graft_bench_corpus"

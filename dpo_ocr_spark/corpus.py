@@ -147,6 +147,7 @@ def render_layout(doc_id: int, text: str) -> bytes:
 
 
 def _gen_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas reference generator (kept for equivalence testing)."""
     for pdf in it:
         out = pd.DataFrame(
             {
@@ -163,6 +164,39 @@ def _gen_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             }
         )
         yield out
+
+
+_EPOCH_US = int(EPOCH.timestamp()) * 1_000_000
+
+
+def _gen_batches_arrow(it):
+    """mapInArrow generator — hot path (skips both pandas conversions;
+    same rows as _gen_batches, pinned by test_corpus_gen_equivalence)."""
+    import pyarrow as pa
+
+    for batch in it:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n = len(ids)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([page_url(i) for i in ids], pa.string()),
+                pa.array(
+                    [_EPOCH_US + i * 1_000_000 for i in ids],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+                pa.array(
+                    [
+                        render_layout(i, t) if is_layout_doc(i) else render_html(i, t)
+                        for i, t in zip(ids, texts)
+                    ],
+                    pa.binary(),
+                ),
+                pa.array([None] * n, pa.string()),
+                batch.column("lang"),
+            ],
+            names=["url", "warc_ts", "html", "text", "lang"],
+        )
 
 
 def build_web_pages(
@@ -184,4 +218,4 @@ def build_web_pages(
         from pyspark.sql import functions as F
 
         docs = docs.repartition(partitions, F.xxhash64("doc_id"))
-    return docs.mapInPandas(_gen_batches, schema=WEB_PAGES)
+    return docs.mapInArrow(_gen_batches_arrow, schema=WEB_PAGES)

@@ -23,3 +23,15 @@ def test_extract_text_nonempty(spark):
     df = E.queries()["extract_text"](spark, "/root/testdata/sf0.001")
     rows = df.limit(5).collect()
     assert all(r.text and "\n" not in r.url for r in rows)
+
+
+def test_corpus_gen_equivalence(spark):
+    """Arrow corpus generator is row-identical to the pandas reference."""
+    from dpo_ocr_spark.corpus import WEB_PAGES, _gen_batches, build_web_pages
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    ref = sorted(map(repr, docs.mapInPandas(_gen_batches, schema=WEB_PAGES).collect()))
+    hot = sorted(map(repr, build_web_pages(spark, "/root/testdata/sf0.001").collect()))
+    assert ref == hot
