@@ -28,6 +28,12 @@ TOP_K = 5
 # recall (P[collide in ≥1 table] = 1-(1-(1-θ/π)^k)^L).
 LSH_TABLES = 8
 LSH_PLANES = 4  # 2^4 buckets per table
+# multiprobe: queries also probe buckets at Hamming distance ≤1 from
+# their own (flip each plane bit) — 1+LSH_PLANES probes per table.  The
+# fan-out lives entirely on the broadcast QUERY side (queries × tables ×
+# probes rows), so at 10¹² corpus rows the corpus-side work is unchanged
+# while recall rises as if L were ~(1+k)× larger.
+MULTIPROBE_RADIUS = 1
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,12 +155,22 @@ def lsh_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
         "vec_id", "q", "norm2",
         F.posexplode(_all_buckets_udf(dims)("q")).alias("tbl", "bucket"),
     )
-    queries = tabbed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qv"),
-        F.col("norm2").alias("qn"),
-        F.col("tbl").alias("qt"),
-        F.col("bucket").alias("qb"),
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *(
+            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(LSH_PLANES if MULTIPROBE_RADIUS else 0)
+        ),
+    )
+    queries = (
+        tabbed.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qv"),
+            F.col("norm2").alias("qn"),
+            F.col("tbl").alias("qt"),
+            F.explode(probe_buckets).alias("qb"),
+        )
     )
     corpus = tabbed.select(
         F.col("vec_id").alias("cand_id"),

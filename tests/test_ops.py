@@ -50,10 +50,11 @@ def test_lsh_recall_vs_brute_force(spark):
     overlap = set(bf) & set(lsh)
     for k in overlap:
         assert bf[k] == lsh[k]
-    # recall over the true top-k pairs (8 hyperplanes on 500 vecs —
-    # modest recall is expected; this guards against total misses)
+    # recall over the true top-k pairs: 8 tables × 4 planes + Hamming-1
+    # multiprobe measures 0.98 on this corpus; 0.8 guards regressions
+    # without flaking on corpus changes
     recall = len(overlap) / len(bf)
-    assert recall >= 0.1, f"LSH recall collapsed: {recall}"
+    assert recall >= 0.8, f"LSH recall collapsed: {recall}"
 
 
 def test_exact_dedup_partitions_docs(spark):
