@@ -7,9 +7,11 @@ micro-batch stream with ``Trigger.AvailableNow`` (drain-everything-then-
 stop — the modern incremental-batch idiom), plus a watermarked windowed
 count on ``warc_ts`` for late-page monitoring.
 
-No stateful custom operators are required by the reference's semantics;
-resumability remains checkpoint-based (the stream checkpoint plays the
-role Iceberg snapshots play in the batch path).
+The reference's semantics require no stateful operators; the engine adds
+one anyway for the training-data ingest path: ``dedup_first_seen``
+(applyInPandasWithState) drops duplicate urls across micro-batches and
+restarts. Resumability remains checkpoint-based (the stream checkpoint
+plays the role Iceberg snapshots play in the batch path).
 """
 
 from __future__ import annotations
@@ -49,6 +51,71 @@ def stream_extract(
         q = writer.format("parquet").option("path", sink_dir).start()
     else:
         q = writer.format("memory").queryName(sink_table).start()
+    q.awaitTermination()
+
+
+def dedup_first_seen(pages: DataFrame) -> DataFrame:
+    """Cross-micro-batch URL dedup: emit each url's FIRST-seen page only,
+    across batches and across restarts — the custom stateful streaming
+    operator (``applyInPandasWithState``) of a training-data ingest
+    pipeline (exact dedup at the door, before the expensive decode).
+
+    State: one empty-marker row per url key, persisted in the state store
+    under the stream checkpoint (restart-safe; pinned by
+    tests/test_streaming.py). Scale: state is keyed by url — at 10¹² docs
+    use the RocksDB state store provider and a processing-time timeout to
+    TTL-bound resident keys; both are config, not code changes.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cols = [f.name for f in WEB_PAGES.fields]
+
+    def first_seen(key, pdfs, state: GroupState):
+        if state.exists:
+            # url already emitted in an earlier batch/run: drop all rows
+            for _ in pdfs:
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[[0]][cols]
+        state.update((1,))
+        if first is not None:
+            yield first
+
+    return pages.groupBy("url").applyInPandasWithState(
+        first_seen,
+        outputStructType=WEB_PAGES,
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_dedup_extract(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    sink_dir: str,
+) -> None:
+    """Ingest-dedup variant of ``stream_extract``: first-seen-url pages
+    only, then the extraction stage, durable parquet sink (resumable)."""
+    pages = (
+        spark.readStream.schema(WEB_PAGES)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    q = (
+        extract_pages(dedup_first_seen(pages))
+        .writeStream.option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", sink_dir)
+        .start()
+    )
     q.awaitTermination()
 
 
