@@ -144,6 +144,98 @@ def _all_buckets_udf(dims: int):
     return buckets
 
 
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def _ivf_centroids(emb: DataFrame) -> np.ndarray:
+    """Deterministic coarse centroids: the IVF_CELLS vectors with the
+    smallest md5(vec_id) — a seedless random sample (at real scale,
+    replace with a k-means fit on the same md5-sample; the search path
+    below is unchanged). Returns unit-normalized cells × dims."""
+    rows = (
+        emb.select("vec_id", "q")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(IVF_CELLS)
+        .collect()
+    )
+    M = np.array([r.q for r in rows], dtype=np.float64)
+    return M / np.linalg.norm(M, axis=1, keepdims=True)
+
+
+def _cells_udf(M: np.ndarray, nprobe: int):
+    """Top-nprobe nearest centroids per vector, one matmul per batch."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(qs: pd.Series) -> pd.Series:
+        X = np.stack(qs.to_numpy()).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = Xn @ M.T
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(top.astype("int32")))
+
+    return cells
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus vectors live in their single
+    nearest-centroid cell; queries probe their IVF_NPROBE nearest cells;
+    exact cosine re-rank inside the probed cells.
+
+    Scale shape: centroids are a driver-side constant broadcast into the
+    assignment UDF (one matmul per Arrow batch), the corpus is scanned
+    once, and the only shuffle is the cell-equality join against the
+    broadcast query probes — candidates ≈ nprobe/cells of the corpus."""
+    emb = _emb(spark, sf_dir)
+    M = _ivf_centroids(emb)
+    corpus = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("q").alias("cv"),
+        F.col("norm2").alias("cn"),
+        F.element_at(_cells_udf(M, 1)("q"), 1).alias("cell"),
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qv"),
+            F.col("norm2").alias("qn"),
+            F.explode(_cells_udf(M, IVF_NPROBE)("q")).alias("cell"),
+        )
+    )
+    scored = (
+        corpus.alias("c")
+        .join(
+            F.broadcast(queries.alias("p")),
+            (F.col("c.cell") == F.col("p.cell"))
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                _dot("qv", "cv").cast("double")
+                / F.sqrt(
+                    F.col("qn").cast("double") * F.col("cn").cast("double")
+                )
+            ).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id", "cand_id", F.col("rn").alias("rank"),
+            F.round("cos", 6).alias("cos_r6"),
+        )
+    )
+
+
 def lsh_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """Multi-table bucketed ANN: candidates = union over tables of
     same-bucket rows, exact cosine re-rank within candidates."""

@@ -269,6 +269,7 @@ FROM ranked WHERE rn <= {S.TOP_K}
 )
 
 _register("ann_lsh", S.lsh_topk)  # bucketed variant: rows-only + pytest recall
+_register("ann_ivf", S.ivf_topk)  # inverted-file variant: rows-only + pytest recall
 
 # --- multimodal (plumbing; header metadata is oracle-checkable) ------------------
 
