@@ -156,12 +156,12 @@ def main() -> int:
     times["extract_pipeline"] = ext["extract_sec"]
     times["assemble_pipeline"] = ext["assemble_sec"]
 
-    # two timed runs per query, report the min: single cold passes in a
+    # three timed runs per query, report the min: single cold passes in a
     # shared JVM vary ±2-3× with GC/worker churn (measured), which is
     # noise, not signal, for plan-quality comparisons round to round
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             qs[name](spark, SF_DIR).count()
             best = min(best, time.time() - t0)
