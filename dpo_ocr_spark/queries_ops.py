@@ -268,7 +268,69 @@ FROM ranked WHERE rn <= {S.TOP_K}
 """,
 )
 
-_register("ann_lsh", S.lsh_topk)  # bucketed variant: rows-only + pytest recall
+# ann_lsh is FULLY oracle-checked: the md5-derived ±1 hyperplanes, the
+# integer sign bits (quantized dot > 0 — exact), the Hamming-1 probe XORs
+# and the double re-rank (proven portable by ann_brute_force) are all
+# re-derived in DuckDB from first principles.
+_LSH_ORACLE = f"""
+WITH {_Q_CTE},
+dims AS (SELECT len(embedding) AS nd FROM embeddings LIMIT 1),
+planes AS (
+  SELECT rt.range AS t, rp.range AS p,
+         list_transform(range(CAST((SELECT nd FROM dims) AS BIGINT)),
+           d -> CASE WHEN substring(md5(CAST(rt.range AS VARCHAR) || ':' ||
+                       CAST(rp.range AS VARCHAR) || '|' ||
+                       CAST(d AS VARCHAR)), 1, 1)
+                   IN ('8','9','a','b','c','d','e','f')
+                THEN 1 ELSE -1 END) AS signs
+  FROM range({S.LSH_TABLES}) rt, range({S.LSH_PLANES}) rp
+),
+bits AS (
+  SELECT n.vec_id, pl.t, pl.p,
+         CASE WHEN CAST(list_dot_product(
+                list_transform(n.qv, x -> CAST(x AS DOUBLE)),
+                list_transform(pl.signs, x -> CAST(x AS DOUBLE)))
+              AS BIGINT) > 0 THEN 1 ELSE 0 END AS bit
+  FROM n CROSS JOIN planes pl
+),
+buckets AS (
+  SELECT vec_id, t AS tbl,
+         CAST(SUM(bit * (1 << p)) AS INT) AS bucket
+  FROM bits GROUP BY vec_id, t
+),
+probes AS (
+  SELECT b.vec_id AS query_id, b.tbl, u.qb
+  FROM buckets b,
+       UNNEST([b.bucket{''.join(f', xor(b.bucket, {1 << i})' for i in range(S.LSH_PLANES))}]) AS u(qb)
+  WHERE b.vec_id < {S.N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS cand_id
+  FROM probes p JOIN buckets c ON c.tbl = p.tbl AND c.bucket = p.qb
+  WHERE c.vec_id != p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.cand_id,
+         CAST(list_dot_product(
+           list_transform(qr.qv, x -> CAST(x AS DOUBLE)),
+           list_transform(cv.qv, x -> CAST(x AS DOUBLE))) AS DOUBLE)
+         / sqrt(CAST(qr.norm2 AS DOUBLE) * CAST(cv.norm2 AS DOUBLE)) AS cos
+  FROM cand
+  JOIN n qr ON qr.vec_id = cand.query_id
+  JOIN n cv ON cv.vec_id = cand.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, cand_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, cand_id, CAST(rn AS INT) AS rank,
+       round(cos, 6) AS cos_r6
+FROM ranked WHERE rn <= {S.TOP_K}
+"""
+
+_register("ann_lsh", S.lsh_topk, _LSH_ORACLE)
 _register("ann_ivf", S.ivf_topk)  # inverted-file variant: rows-only + pytest recall
 
 # --- multimodal (plumbing; header metadata is oracle-checkable) ------------------
