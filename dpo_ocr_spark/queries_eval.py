@@ -198,7 +198,32 @@ def _q_training_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_jsonl(_q_span_records(spark, sf_dir))
 
 
-_register("training_jsonl", _q_training_jsonl)  # JSON shape — rows-only
+# training_jsonl oracle: Jackson's compact to_json output re-built by
+# string concatenation over the (already oracle-checked) span rows —
+# annotations sorted exactly like Spark's array_sort over the nested
+# struct (end, start, display_name); minimal JSON escaping (backslash,
+# quote) matches Jackson on this corpus (ASCII, no control chars).
+_TRAIN_JSONL_SQL = (
+    "WITH spans AS (\n" + ORACLES["span_records"] + "\n),\n"
+    """ann AS (
+  SELECT url,
+         '{"text_extraction":{"text_segment":{"end_offset":'
+           || CAST("end" AS VARCHAR) || ',"start_offset":'
+           || CAST(start AS VARCHAR) || '}},"display_name":"'
+           || field || '"}' AS a,
+         "end" AS e, start AS st, field, content
+  FROM spans
+)
+SELECT url,
+       '{"annotations":[' || string_agg(a, ',' ORDER BY e, st, field)
+       || '],"text_snippet":{"content":"'
+       || replace(replace(max(content), '\', '\\'), '"', '\"')
+       || '"}}' AS jsonl
+FROM ann GROUP BY url
+"""
+)
+
+_register("training_jsonl", _q_training_jsonl, _TRAIN_JSONL_SQL)
 
 
 # --- zonal extraction (J8 + pivot) --------------------------------------------
