@@ -11,8 +11,8 @@ Scale shapes:
 - **n-gram Jaccard** (exact, small-scale verifier): shingle explode +
   self-join on shared shingles + |∩|/|∪| from group counts.
 - **SimHash**: 64-bit sign-aggregated word-hash fingerprint; hamming-ball
-  candidates.  (Bit-majority is not portably SQL-expressible → rows-only
-  oracle; pinned by pytest against a pure-Python reference.)
+  candidates.  Oracle-checked: FNV-1a + bit-majority re-derived in DuckDB
+  HUGEINT arithmetic (see queries_ops._FNV_SQL), plus a pytest reference.
 - **embedding near-dup**: integer-quantized cosine gate — exact arithmetic,
   so Spark and DuckDB agree bit-for-bit (see _QUANT comment).
 

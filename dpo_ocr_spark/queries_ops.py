@@ -380,4 +380,50 @@ FROM m
 """,
 )
 
-_register("simhash", D.simhash)  # bit-majority: rows-only + pytest reference
+# simhash oracle: FNV-1a re-implemented in DuckDB HUGEINT arithmetic
+# (the 64-bit wrap-around multiply runs mod 2^64 in 128-bit ints; xor
+# only ever touches the low 8 bits so a BIGINT xor on h%256 is exact),
+# then per-bit sign-majority over the word hashes. Bit-identical to the
+# Python reference on the full corpus.
+_FNV_SQL = r"""
+list_reduce(
+  list_prepend(14695981039346656037::HUGEINT,
+    list_transform(range(1, length(word) + 1),
+                   i -> ascii(substring(word, i, 1))::HUGEINT)),
+  (a, b) -> ((a - (a % 256)
+              + xor(CAST(a % 256 AS BIGINT), CAST(b AS BIGINT)))
+             * 1099511628211::HUGEINT)
+            % 18446744073709551616::HUGEINT)
+"""
+
+_register(
+    "simhash",
+    D.simhash,
+    rf"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x != '')) AS word
+  FROM documents
+),
+h AS (SELECT doc_id, {_FNV_SQL} AS hv FROM w),
+bits AS (
+  SELECT doc_id, r.range AS bit,
+         CASE WHEN SUM(CASE WHEN (hv // CAST(power(2, r.range) AS HUGEINT))
+                                 % 2 = 1
+                            THEN 1 ELSE -1 END) > 0
+              THEN 1 ELSE 0 END AS bv
+  FROM h CROSS JOIN range(64) r
+  GROUP BY doc_id, r.range
+)
+SELECT d.doc_id,
+       CAST(COALESCE(SUM(CASE WHEN bit >= 32
+              THEN bv * CAST(power(2, bit - 32) AS HUGEINT) END), 0) AS BIGINT)
+         AS simhash_hi,
+       CAST(COALESCE(SUM(CASE WHEN bit < 32
+              THEN bv * CAST(power(2, bit) AS HUGEINT) END), 0) AS BIGINT)
+         AS simhash_lo
+FROM documents d LEFT JOIN bits USING (doc_id)
+GROUP BY d.doc_id
+""",
+)
