@@ -129,7 +129,17 @@ def _q_accuracy_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return H.accuracy(spark, sf_dir, fields, fuzzy=True)
 
 
-_register("eval_accuracy_trgm", _q_accuracy_fuzzy)  # pg_trgm — rows-only
+# The fuzzy (word_similarity > 0.8) accuracy is analytically identical to
+# the exact one on this corpus: auto either reproduces golden verbatim
+# (sim = 1.0 > 0.8 — matched either way) or, for December roman dates,
+# emits NOTHING (NULL auto_value → sim 0.0 — missed either way). The
+# exact oracle therefore IS the fuzzy oracle, and it pins real behavior:
+# a word_similarity kernel that under-scores identical strings or
+# mishandles NULLs breaks this hash. (The kernel's pg_trgm values are
+# separately pinned against published outputs in tests/test_interpret.py.)
+_register(
+    "eval_accuracy_trgm", _q_accuracy_fuzzy, ORACLES["eval_accuracy_exact"]
+)
 
 
 # --- span export -------------------------------------------------------------
