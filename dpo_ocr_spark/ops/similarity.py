@@ -148,30 +148,44 @@ IVF_CELLS = 16
 IVF_NPROBE = 4
 
 
-def _ivf_centroids(emb: DataFrame) -> np.ndarray:
+def _ivf_centroids(emb: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic coarse centroids: the IVF_CELLS vectors with the
     smallest md5(vec_id) — a seedless random sample (at real scale,
     replace with a k-means fit on the same md5-sample; the search path
-    below is unchanged). Returns unit-normalized cells × dims."""
+    below is unchanged). Returns (quantized int64 cells × dims, norm²)
+    — INTEGER centroids so cell assignment is engine-portable (the
+    DuckDB oracle re-derives identical assignments)."""
     rows = (
-        emb.select("vec_id", "q")
+        emb.select("vec_id", "q", "norm2")
         .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(IVF_CELLS)
         .collect()
     )
-    M = np.array([r.q for r in rows], dtype=np.float64)
-    return M / np.linalg.norm(M, axis=1, keepdims=True)
+    M = np.array([r.q for r in rows], dtype=np.int64)
+    n2 = np.array([r.norm2 for r in rows], dtype=np.int64)
+    return M, n2
 
 
-def _cells_udf(M: np.ndarray, nprobe: int):
-    """Top-nprobe nearest centroids per vector, one matmul per batch."""
+def _cells_udf(M: np.ndarray, cn2: np.ndarray, nprobe: int):
+    """Top-nprobe nearest centroids per vector, one matmul per batch.
+
+    Portability contract (shared with the ann_ivf DuckDB oracle): dots
+    are EXACT int64 (≤ dims·quant² = 1.28e8 ≪ 2^53), and the similarity
+    double is computed as double(dot) / sqrt(double(nx)·double(nc)) —
+    each step individually IEEE-rounded, so both engines produce the
+    bit-identical double and therefore the identical stable argsort
+    (ties broken by centroid index)."""
     from pyspark.sql import types as T
+
+    Mt = M.T.copy()
+    cn2d = cn2.astype(np.float64)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def cells(qs: pd.Series) -> pd.Series:
-        X = np.stack(qs.to_numpy()).astype(np.float64)
-        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        sims = Xn @ M.T
+        X = np.stack(qs.to_numpy()).astype(np.int64)
+        dots = (X @ Mt).astype(np.float64)  # exact ints → exact doubles
+        nx = (X * X).sum(axis=1).astype(np.float64)
+        sims = dots / np.sqrt(nx[:, None] * cn2d[None, :])
         top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(top.astype("int32")))
 
@@ -188,12 +202,12 @@ def ivf_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     once, and the only shuffle is the cell-equality join against the
     broadcast query probes — candidates ≈ nprobe/cells of the corpus."""
     emb = _emb(spark, sf_dir)
-    M = _ivf_centroids(emb)
+    M, cn2 = _ivf_centroids(emb)
     corpus = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("q").alias("cv"),
         F.col("norm2").alias("cn"),
-        F.element_at(_cells_udf(M, 1)("q"), 1).alias("cell"),
+        F.element_at(_cells_udf(M, cn2, 1)("q"), 1).alias("cell"),
     )
     queries = (
         emb.filter(F.col("vec_id") < N_QUERIES)
@@ -201,7 +215,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("q").alias("qv"),
             F.col("norm2").alias("qn"),
-            F.explode(_cells_udf(M, IVF_NPROBE)("q")).alias("cell"),
+            F.explode(_cells_udf(M, cn2, IVF_NPROBE)("q")).alias("cell"),
         )
     )
     scored = (

@@ -331,7 +331,67 @@ FROM ranked WHERE rn <= {S.TOP_K}
 """
 
 _register("ann_lsh", S.lsh_topk, _LSH_ORACLE)
-_register("ann_ivf", S.ivf_topk)  # inverted-file variant: rows-only + pytest recall
+# ann_ivf oracle: centroid sampling (md5 order), cell assignment and the
+# probe ranking re-derived in SQL. Portable because the similarity double
+# is double(exact-int dot) / sqrt(double(n_a)·double(n_b)) in BOTH engines
+# (every intermediate ≤ 1.28e8 ≪ 2^53 → the doubles are bit-identical,
+# so argmax/argsort agree; ties break on centroid index both sides).
+_IVF_ORACLE = f"""
+WITH {_Q_CTE},
+cent AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS cidx,
+         qv AS cv, norm2 AS cn
+  FROM n
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {S.IVF_CELLS}
+),
+sims AS (
+  SELECT v.vec_id, c.cidx,
+         CAST(list_dot_product(
+           list_transform(v.qv, x -> CAST(x AS DOUBLE)),
+           list_transform(c.cv, x -> CAST(x AS DOUBLE))) AS DOUBLE)
+         / sqrt(CAST(v.norm2 AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS sim
+  FROM n v CROSS JOIN cent c
+),
+rc AS (
+  SELECT vec_id, cidx,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cidx ASC) AS rnk
+  FROM sims
+),
+corpus AS (SELECT vec_id AS cand_id, cidx AS cell FROM rc WHERE rnk = 1),
+probes AS (
+  SELECT vec_id AS query_id, cidx AS cell
+  FROM rc WHERE rnk <= {S.IVF_NPROBE} AND vec_id < {S.N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.cand_id
+  FROM probes p JOIN corpus c ON c.cell = p.cell
+  WHERE c.cand_id != p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.cand_id,
+         CAST(list_dot_product(
+           list_transform(qr.qv, x -> CAST(x AS DOUBLE)),
+           list_transform(cv.qv, x -> CAST(x AS DOUBLE))) AS DOUBLE)
+         / sqrt(CAST(qr.norm2 AS DOUBLE) * CAST(cv.norm2 AS DOUBLE)) AS cos
+  FROM cand
+  JOIN n qr ON qr.vec_id = cand.query_id
+  JOIN n cv ON cv.vec_id = cand.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, cand_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, cand_id, CAST(rn AS INT) AS rank,
+       round(cos, 6) AS cos_r6
+FROM ranked WHERE rn <= {S.TOP_K}
+"""
+
+_register("ann_ivf", S.ivf_topk, _IVF_ORACLE)
 
 # --- multimodal (plumbing; header metadata is oracle-checkable) ------------------
 
