@@ -124,3 +124,68 @@ def test_job_prints_submit_conf():
     assert r.returncode == 0, r.stderr[-2000:]
     assert "--conf spark.sql.extensions=" in r.stdout
     assert "spark.sql.catalog.web.warehouse=" in r.stdout
+
+
+def test_write_results_iceberg_branch():
+    from dpo_ocr_spark.sources import write_results
+
+    class _Writer:
+        def __init__(self):
+            self.opts, self.action = {}, None
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def append(self):
+            self.action = "append"
+
+        def createOrReplace(self):
+            self.action = "replace"
+
+    class _DF:
+        def __init__(self):
+            self.w = _Writer()
+
+        def writeTo(self, t):
+            self.t = t
+            return self.w
+
+    df = _DF()
+    write_results(df, "web.crawl.out")
+    assert df.t == "web.crawl.out"
+    assert df.w.opts == {"fanout-enabled": "true"}
+    assert df.w.action == "append"
+    df = _DF()
+    write_results(df, "web.crawl.out", mode="overwrite")
+    assert df.w.action == "replace"
+
+
+def test_latest_snapshot_id_sql():
+    from dpo_ocr_spark.sources import latest_snapshot_id
+
+    class _Row:
+        snapshot_id = 777
+
+    class _Result:
+        def __init__(self, rows):
+            self._rows = rows
+
+        def collect(self):
+            return self._rows
+
+    class _Spark:
+        def sql(self, q):
+            self.q = q
+            return _Result([_Row()])
+
+    sp = _Spark()
+    assert latest_snapshot_id(sp, "web.crawl.pages") == 777
+    assert "web.crawl.pages.snapshots" in sp.q
+    assert "ORDER BY committed_at DESC" in sp.q
+
+    class _Empty(_Spark):
+        def sql(self, q):
+            return _Result([])
+
+    assert latest_snapshot_id(_Empty(), "web.crawl.pages") is None
