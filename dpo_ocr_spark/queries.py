@@ -173,8 +173,9 @@ def _register_relational() -> None:
             "multiway_join",
             R.q_multiway_join,
             """SELECT n_name,
-                      CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                    AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+                      SUM(CAST(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                        AS revenue_x10k,
                       COUNT(*) AS n_items
                FROM lineitem
                JOIN orders   ON l_orderkey = o_orderkey
@@ -262,8 +263,8 @@ def _register_relational() -> None:
                            WHEN l_discount > 0.02 THEN 'low'
                            ELSE 'none' END AS disc_class,
                       COUNT(*) AS n,
-                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
-                           AS DECIMAL(38,4)) AS gross
+                      SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+                               AS BIGINT)) AS gross_x10k
                FROM lineitem GROUP BY 1""",
         ),
         (
@@ -286,8 +287,8 @@ def _register_relational() -> None:
             "range_join",
             R.q_range_join,
             """SELECT r_regionkey AS zone_id, COUNT(*) AS n_orders,
-                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                           AS DECIMAL(38,4)) AS total
+                      SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                               AS BIGINT)) AS total_x10k
                FROM orders JOIN region
                  ON o_totalprice >= r_regionkey * 60000.0
                 AND o_totalprice < (r_regionkey + 1) * 60000.0

@@ -13,8 +13,14 @@ url, which is unique per row here, so AQE handles any residual skew
 (``spark.sql.adaptive.skewJoin.enabled``).
 
 Resume: lineage is written with results; a restarted job anti-joins its
-input against completed lineage partition ids (here) / Iceberg snapshot
-watermarks (at real scale) and reprocesses only the gap.
+input against completed lineage — by url when a url-bearing frame is
+given, else by CONTENT-DERIVED partition id (``pmod(hash(xxhash64(url)),
+num_buckets)``, exactly the assignment ``salted_repartition`` produced, so
+a completed partition's rows are re-identified from the urls alone).
+Time/watermark is never used as a resume predicate: under hash
+partitioning every partition spans the full timestamp range, so a
+max-watermark filter would silently drop unprocessed rows of failed
+partitions.
 """
 
 from __future__ import annotations
@@ -28,39 +34,97 @@ def salted_repartition(df: DataFrame, num_partitions: int, key: str = "url") -> 
     Hash-repartition on ``xxhash64(key)`` — byte-uniform even when the key
     space is host-skewed (many urls on one host hash apart).  One shuffle,
     after which the expensive decode work is balanced across executors.
+
+    The resulting partition id is a pure function of the key:
+    ``pmod(hash(xxhash64(key)), num_partitions)`` (Spark's HashPartitioning
+    = Murmur3 seed 42, which is also ``F.hash``).  ``resume_bucket``
+    recomputes it; a pytest pins the equality against
+    ``spark_partition_id`` so a Spark-internals change fails loudly.
     """
     return df.repartition(num_partitions, F.xxhash64(F.col(key)))
 
 
-def with_lineage(extracted: DataFrame) -> tuple[DataFrame, DataFrame]:
+def resume_bucket(num_buckets: int, key: str = "url"):
+    """The content-derived partition id ``salted_repartition`` assigns:
+    pmod(Murmur3(xxhash64(key)), n).  Used by resume to re-identify a
+    completed partition's rows from their keys alone."""
+    return F.pmod(F.hash(F.xxhash64(F.col(key))), F.lit(num_buckets)).cast("int")
+
+
+def with_lineage(extracted: DataFrame, num_buckets: int | None = None) -> tuple[DataFrame, DataFrame]:
     """Attach partition ids and derive the lineage frame (LINEAGE schema).
 
     Returns (results_with_partition_id, lineage).  Lineage aggregates are
     computed from the same frame in one extra pass — at real scale both
-    land in the same Iceberg commit so they are atomic.
+    land in the same Iceberg commit so they are atomic.  ``num_buckets``
+    (defaults to the frame's partition count) is recorded on every lineage
+    row so a resume run can recompute each url's partition assignment
+    without the data (see ``resume_filter``).
     """
+    n = num_buckets if num_buckets is not None else extracted.rdd.getNumPartitions()
     tagged = extracted.withColumn("partition_id", F.spark_partition_id())
     lineage = tagged.groupBy("partition_id").agg(
         F.count("*").alias("input_count"),
         F.sum("n_bytes").alias("input_bytes"),
         F.max("warc_ts").alias("checkpoint_watermark"),
-    )
+    ).withColumn("num_buckets", F.lit(n))
     return tagged, lineage
 
 
-def resume_filter(pages: DataFrame, lineage_done: DataFrame) -> DataFrame:
-    """Re-run predicate: keep only pages whose watermark range is not yet
-    covered by completed lineage (anti-join on the checkpoint watermark).
+def resume_filter(pages: DataFrame, lineage_done: DataFrame, key: str = "url") -> DataFrame:
+    """Re-run predicate: keep only pages NOT covered by completed lineage.
 
-    The reference's analog is delete-by-project + rerun
-    (block_identification.py:63); ours is additive and idempotent.
+    Two sound forms, both content-based (the reference's analog is
+    delete-by-project + rerun, block_identification.py:63; ours is
+    additive and idempotent):
+
+    * url-bearing frame (e.g. the results table itself): anti-join on url.
+    * LINEAGE-schema frame (partition_id + num_buckets): recompute each
+      page's partition id with the same pure function salted_repartition
+      used and anti-join on completed partition ids.  A lineage row
+      attests its whole partition committed (task commits are atomic and
+      lineage lands in the same Iceberg commit as results), so this
+      reprocesses exactly the failed partitions.
+
+    Empty lineage ⇒ everything pending.  A frame with neither column set
+    raises — a silent time/watermark filter here would drop unprocessed
+    rows of failed partitions (every hash partition spans the full
+    timestamp range).
     """
-    done_urls = lineage_done.select("url") if "url" in lineage_done.columns else None
-    if done_urls is not None:
-        return pages.join(done_urls, "url", "left_anti")
-    max_wm = lineage_done.agg(F.max("checkpoint_watermark").alias("wm"))
-    return pages.join(
-        max_wm, pages["warc_ts"] > max_wm["wm"], "left_semi"
+    cols = set(lineage_done.columns)
+    if key in cols:
+        return pages.join(lineage_done.select(key), key, "left_anti")
+    if {"partition_id", "num_buckets"} <= cols:
+        # num_buckets is constant per run; lineage is one row per partition
+        # (thousands at scale) so this collect is metadata-sized.
+        n_vals = [
+            r[0]
+            for r in lineage_done.select("num_buckets").distinct().collect()
+        ]
+        if not n_vals:
+            return pages  # empty lineage → nothing completed
+        if len(n_vals) != 1:
+            raise ValueError(
+                "lineage mixes num_buckets values "
+                f"{sorted(n_vals)}: runs with different salt-partition "
+                "counts are not resumable against each other"
+            )
+        done = lineage_done.select(
+            F.col("partition_id").alias("__done_bucket")
+        ).distinct()
+        return (
+            pages.withColumn("__bucket", resume_bucket(n_vals[0], key))
+            .join(
+                F.broadcast(done),
+                F.col("__bucket") == F.col("__done_bucket"),
+                "left_anti",
+            )
+            .drop("__bucket")
+        )
+    raise ValueError(
+        f"resume_filter needs a '{key}' column or LINEAGE-schema columns "
+        "(partition_id, num_buckets); refusing to guess — a watermark "
+        "filter would silently skip failed partitions' pending rows"
     )
 
 

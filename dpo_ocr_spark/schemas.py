@@ -106,13 +106,18 @@ SPAN = T.StructType(
 )
 
 # Per-partition lineage row (north_rule): written alongside results so a
-# failed partition range is resumable (anti-join on lineage).
+# failed partition range is resumable (anti-join on lineage).  num_buckets
+# makes resume content-based: partition_id is the pure function
+# pmod(hash(xxhash64(url)), num_buckets), so a resume run re-derives every
+# page's partition from its url and anti-joins on completed ids —
+# checkpoint_watermark is metrics-only, never a resume predicate.
 LINEAGE = T.StructType(
     [
         T.StructField("partition_id", T.IntegerType(), False),
         T.StructField("input_count", T.LongType(), False),
         T.StructField("input_bytes", T.LongType(), False),
         T.StructField("checkpoint_watermark", T.TimestampType(), True),
+        T.StructField("num_buckets", T.IntegerType(), False),
     ]
 )
 

@@ -74,7 +74,7 @@ def main() -> int:
     parts = args.salt_partitions or spark.sparkContext.defaultParallelism * 2
     pages = salted_repartition(pages, parts)
     extracted = extract_pages(pages)
-    results, lineage = with_lineage(extracted)
+    results, lineage = with_lineage(extracted, num_buckets=parts)
     write_results(results, args.output)
     write_results(lineage, args.lineage)
     return 0

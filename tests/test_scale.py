@@ -59,6 +59,79 @@ def test_resume_filter_skips_done_urls(spark):
     assert remaining == 500 - n_done
 
 
+def test_resume_bucket_matches_spark_partition_id(spark):
+    """Pin the Spark internal resume depends on: after salted_repartition(n),
+    spark_partition_id == pmod(hash(xxhash64(url)), n) for every row.  If a
+    Spark upgrade changes HashPartitioning this fails loudly instead of
+    resume silently mis-bucketing."""
+    from dpo_ocr_spark.corpus import build_web_pages
+    from dpo_ocr_spark.scale import resume_bucket, salted_repartition
+
+    pages = salted_repartition(build_web_pages(spark, SD), 16)
+    mismatches = (
+        pages.withColumn("pid", F.spark_partition_id())
+        .withColumn("bucket", resume_bucket(16))
+        .filter(F.col("pid") != F.col("bucket"))
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_resume_filter_lineage_schema_is_content_based(spark):
+    """A LINEAGE-schema frame (no urls) must resume by recomputed partition
+    id: exactly the done partitions' rows are skipped, failed partitions'
+    rows all survive — regardless of timestamps."""
+    from dpo_ocr_spark.corpus import build_web_pages
+    from dpo_ocr_spark.extract import extract_pages
+    from dpo_ocr_spark.scale import (
+        resume_bucket,
+        resume_filter,
+        salted_repartition,
+        with_lineage,
+    )
+
+    pages = build_web_pages(spark, SD).cache()
+    extracted = extract_pages(salted_repartition(pages, 8))  # the job path
+    _, lineage = with_lineage(extracted, num_buckets=8)
+    lineage = lineage.cache()  # LINEAGE schema only — no urls anywhere
+
+    # pretend partitions {0,1,2} committed, the rest failed
+    done = lineage.filter(F.col("partition_id") < 3)
+    n_done_rows = (
+        pages.withColumn("b", resume_bucket(8)).filter(F.col("b") < 3).count()
+    )
+    remaining = resume_filter(pages, done)
+    assert remaining.count() == 500 - n_done_rows
+    # every remaining row belongs to a not-done partition
+    assert (
+        remaining.withColumn("b", resume_bucket(8))
+        .filter(F.col("b") < 3)
+        .count()
+        == 0
+    )
+    # empty lineage → everything pending (not nothing)
+    assert resume_filter(pages, lineage.limit(0)).count() == 500
+
+
+def test_resume_filter_refuses_unresumable_frames(spark):
+    """Neither url nor (partition_id, num_buckets) → loud error, never a
+    silent watermark filter; mixed num_buckets → loud error."""
+    import pytest
+
+    from dpo_ocr_spark.corpus import build_web_pages
+    from dpo_ocr_spark.scale import resume_filter
+
+    pages = build_web_pages(spark, SD)
+    wm_only = pages.select(F.col("warc_ts").alias("checkpoint_watermark")).limit(5)
+    with pytest.raises(ValueError, match="refusing to guess"):
+        resume_filter(pages, wm_only)
+    mixed = spark.createDataFrame(
+        [(0, 8), (1, 16)], "partition_id int, num_buckets int"
+    )
+    with pytest.raises(ValueError, match="num_buckets"):
+        resume_filter(pages, mixed)
+
+
 def test_spark_submit_job_end_to_end(tmp_path, spark):
     """The actual deployment shape: package → run the job script in a
     fresh interpreter → results + lineage written → resume run is a
