@@ -27,6 +27,43 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 SHINGLE_K = 3  # words per shingle
 MINHASH_K = 12  # signature length
 LSH_BANDS = 4  # → rows per band = MINHASH_K / LSH_BANDS
+# Hot-key fan-out caps (the 100 TB safety valve): a boilerplate shingle
+# ("click here to") or a degenerate LSH bucket otherwise materializes an
+# m²/2 pair array in ONE row → multi-GB single value → executor OOM.
+# Groups larger than the cap are DROPPED (with an observed drop count, see
+# drop_stats) — exact semantics below the cap, explicit degradation above
+# it.  The oracle SQL applies the identical cap so the hash gate stays
+# aligned at any SF (at sf≤0.1 no group comes near the cap).
+MAX_GROUP = 1_000
+_DROP_SOURCES: dict[str, tuple[DataFrame, int]] = {}
+
+
+def _capped_groups(grouped: DataFrame, what: str, cap: int = MAX_GROUP) -> DataFrame:
+    """Keep groups with 2..cap members; register the grouped frame so
+    drop_stats(what) can report how many groups/ids the cap excluded.
+    ``grouped`` must carry a sorted ``ids`` array column.
+
+    (DataFrame.observe would record drops in the same job, but AQE's
+    empty-relation propagation prunes the CollectMetrics node whenever the
+    capped result is empty — exactly the degenerate corpora the cap
+    exists for — so stats are an explicit side aggregation instead.)"""
+    _DROP_SOURCES[what] = (grouped, cap)
+    return grouped.filter((F.size("ids") > 1) & (F.size("ids") <= cap))
+
+
+def drop_stats(what: str) -> dict:
+    """Hot-group drop counts for the last-built '{what}' plan.  Runs a
+    dedicated aggregate job over the grouped frame — production jobs
+    persist the grouped stage or log this next to the output commit."""
+    src = _DROP_SOURCES.get(what)
+    if src is None:
+        return {"dropped_groups": 0, "dropped_ids": 0}
+    grouped, cap = src
+    row = grouped.agg(
+        F.sum(F.when(F.size("ids") > cap, 1).otherwise(0)).alias("g"),
+        F.sum(F.when(F.size("ids") > cap, F.size("ids")).otherwise(0)).alias("i"),
+    ).first()
+    return {"dropped_groups": int(row["g"] or 0), "dropped_ids": int(row["i"] or 0)}
 # embedding quantization: round(x * 10^3) → exact BIGINT arithmetic.
 # Overflow budget: |x| ≤ 1, dims ≤ 128 → |dot| ≤ 1.28e8, dot² ≤ 1.64e16;
 # with t = t_num/t_den ≤ 1 and t_den ≤ 20: dot²·t_den² ≤ 6.6e18 < 2^63
@@ -119,33 +156,52 @@ def _shingle_batches(it):
         )
 
 
-def shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingles_of(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) exploded distinct shingles (Arrow kernel)."""
-    return (
-        _docs(spark, sf_dir)
-        .select("doc_id", "text")
-        .mapInArrow(_shingle_batches, schema="doc_id long, shingle string")
+    return docs.select("doc_id", "text").mapInArrow(
+        _shingle_batches, schema="doc_id long, shingle string"
     )
 
 
+def shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingles_of(_docs(spark, sf_dir))
+
+
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold_x1000: int = 300
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_x1000: int = 300,
+    max_df: int = MAX_GROUP,
+) -> DataFrame:
+    return ngram_jaccard_from_shingles(
+        shingle_frame(spark, sf_dir), threshold_x1000, max_df
+    )
+
+
+def ngram_jaccard_from_shingles(
+    sh: DataFrame, threshold_x1000: int = 300, max_df: int = MAX_GROUP
 ) -> DataFrame:
     """Exact word-shingle Jaccard over all pairs sharing ≥1 shingle.
 
     Join on shingle (never crossJoin): candidate pairs are generated only
     where an inverted-index bucket overlaps — the same sparsity argument
     that makes this viable at scale, here with exact verification.
+    Shingles with document frequency > max_df are dropped from the
+    intersection (observed drop count: drop_stats('ngram_jaccard')) —
+    the stop-shingle fan-out cap; sizes/denominators stay exact.
     Jaccard emitted ×1000 integer-floored (engine-exact)."""
-    sh = shingle_frame(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # inverted index → in-bucket pair fan-out (one shuffle; the previous
     # shingle-equality self-join recomputed the shingle kernel per side
     # and shuffled the full frame twice)
     inter = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        _capped_groups(
+            sh.groupBy("shingle").agg(
+                F.sort_array(F.collect_list("doc_id")).alias("ids")
+            ),
+            "ngram_jaccard",
+            max_df,
+        )
         .select(F.explode(_pair_combos("ids")).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
@@ -188,17 +244,33 @@ def _minhash_cols() -> list[F.Column]:
     return cols
 
 
+def minhash_of(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("doc_id").agg(*_minhash_cols())
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return shingle_frame(spark, sf_dir).groupBy("doc_id").agg(*_minhash_cols())
+    return minhash_of(shingle_frame(spark, sf_dir))
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int = MAX_GROUP
+) -> DataFrame:
+    return lsh_pairs_from_signatures(
+        minhash_signatures(spark, sf_dir), max_bucket
+    )
+
+
+def lsh_pairs_from_signatures(
+    sig: DataFrame, max_bucket: int = MAX_GROUP
+) -> DataFrame:
     """LSH banding: same (band, band-hash) bucket → candidate pair.
 
     Each band hashes r = K/b consecutive signature rows; a pair collides if
     ANY band matches (union over bands, dedup).  Only bucket-joins — scale
-    cost is Σ bucket² not n²."""
-    sig = minhash_signatures(spark, sf_dir)
+    cost is Σ bucket² not n², and buckets larger than max_bucket are
+    dropped with an observed count (drop_stats('minhash_lsh')): a
+    degenerate bucket (boilerplate-heavy corpora hash thousands of docs
+    into one) otherwise fans out m²/2 structs inside one row."""
     rows_per_band = MINHASH_K // LSH_BANDS
     # all bands in ONE pass over the signature frame (a per-band select +
     # union re-computed the full shingle→signature chain once per band)
@@ -221,9 +293,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature chain for each side): one groupBy, then in-expression
     # combination fan-out — scale cost is still Σ bucket², one shuffle.
     return (
-        bucketed.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        _capped_groups(
+            bucketed.groupBy("band", "bucket").agg(
+                F.sort_array(F.collect_list("doc_id")).alias("ids")
+            ),
+            "minhash_lsh",
+            max_bucket,
+        )
         .select(F.explode(_pair_combos("ids")).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
@@ -233,9 +309,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pair_combos(ids_col: str) -> F.Column:
     """array<struct<doc_a,doc_b>> of ordered pairs from a sorted id array.
 
-    At 10^12 docs a hot bucket would fan out m²/2 structs in one array —
-    production jobs cap bucket size upstream (drop df>cap shingles /
-    re-band); the engine keeps the exact semantics here."""
+    Callers pre-filter through _capped_groups so the in-array fan-out is
+    bounded at MAX_GROUP²/2 structs per row."""
     return F.expr(
         f"flatten(transform({ids_col}, (x, i) -> "
         f"transform(slice({ids_col}, i + 2, size({ids_col})), "

@@ -184,9 +184,15 @@ _register(
     f"""
 WITH {_SH_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+-- stop-shingle cap mirrored from the engine (ops/dedup.py MAX_GROUP):
+-- shingles with document frequency > cap are excluded from intersections
+shc AS (
+  SELECT * FROM sh WHERE shingle IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {D.MAX_GROUP})
+),
 inter AS (
   SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh c ON a.shingle = c.shingle AND a.doc_id < c.doc_id
+  FROM shc a JOIN shc c ON a.shingle = c.shingle AND a.doc_id < c.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_inter,
@@ -213,9 +219,15 @@ _register(
 WITH {_MH_CTE},
 b AS (
 {_BANDS_SQL}
+),
+-- hot-bucket cap mirrored from the engine (ops/dedup.py MAX_GROUP)
+bc AS (
+  SELECT b.* FROM b
+  JOIN (SELECT band, bucket FROM b GROUP BY band, bucket
+        HAVING COUNT(*) <= {D.MAX_GROUP}) ok USING (band, bucket)
 )
 SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-FROM b a JOIN b c
+FROM bc a JOIN bc c
   ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
 """,
 )

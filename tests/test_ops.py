@@ -135,3 +135,53 @@ def test_ivf_recall_vs_brute_force(spark):
     for key in overlap:  # exact re-rank → identical cosines
         assert bf[key] == ivf[key]
     assert len(overlap) / len(bf) >= 0.4
+
+
+def test_hot_group_caps_bound_fanout(spark):
+    """Degenerate corpus: every doc shares boilerplate shingles.  With the
+    cap, hot groups are dropped with an observed count instead of fanning
+    out m²/2 pair structs inside one row (the 100 TB OOM mode)."""
+    from dpo_ocr_spark.ops import dedup as D
+
+    n = 50
+    docs = spark.createDataFrame(
+        [(i, f"click here to see unique page {i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    sh = D.shingles_of(docs).cache()
+
+    # 4 shared shingles have df=50 > 10 → dropped; the unique 5th can't pair
+    pairs = D.ngram_jaccard_from_shingles(sh, threshold_x1000=0, max_df=10)
+    assert pairs.count() == 0
+    stats = D.drop_stats("ngram_jaccard")
+    assert stats["dropped_groups"] == 4
+    assert stats["dropped_ids"] == 4 * n
+
+    # control: default cap leaves semantics exact (4/6 jaccard → all pairs)
+    pairs = D.ngram_jaccard_from_shingles(sh, threshold_x1000=300)
+    assert pairs.count() == n * (n - 1) // 2
+    assert D.drop_stats("ngram_jaccard") == {
+        "dropped_groups": 0,
+        "dropped_ids": 0,
+    }
+
+
+def test_hot_lsh_bucket_cap(spark):
+    """Identical docs collapse into one LSH bucket per band; the cap drops
+    those buckets explicitly rather than materializing m²/2 pairs."""
+    from dpo_ocr_spark.ops import dedup as D
+
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, "the very same text for every single doc") for i in range(n)],
+        "doc_id long, text string",
+    )
+    sig = D.minhash_of(D.shingles_of(docs))
+    capped = D.lsh_pairs_from_signatures(sig, max_bucket=10)
+    assert capped.count() == 0
+    stats = D.drop_stats("minhash_lsh")
+    assert stats["dropped_groups"] == D.LSH_BANDS
+    assert stats["dropped_ids"] == D.LSH_BANDS * n
+
+    uncapped = D.lsh_pairs_from_signatures(sig)  # default cap ≥ n
+    assert uncapped.count() == n * (n - 1) // 2
