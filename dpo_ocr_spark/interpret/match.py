@@ -264,8 +264,14 @@ def match_collector(
 # ---------------------------------------------------------------------------
 
 
+SIM_DICT_CAP = 100_000  # semantic knob: top-N most frequent dictionary values
+
+
 def similarity_fallback(
-    spark: SparkSession, blocks: DataFrame, fields: DataFrame
+    spark: SparkSession,
+    blocks: DataFrame,
+    fields: DataFrame,
+    dict_cap: int = SIM_DICT_CAP,
 ) -> DataFrame:
     """block_identification.py:330-364 — a block missing any known
     data_type gets the globally most word-similar existing
@@ -274,15 +280,37 @@ def similarity_fallback(
     data_type).  Computed against the pre-fallback snapshot (the
     reference's insert-while-iterating feedback is order-dependent over an
     unspecified DB order; snapshot semantics is the deterministic batch
-    equivalent)."""
+    equivalent).
+
+    Scale shape: the snapshot is a DISTINCT (type, format, value)
+    dictionary aggregated distributedly and bounded to the ``dict_cap``
+    most frequent entries (TakeOrdered — never a full sort, never a
+    corpus-sized collect; the fields table itself is corpus-sized at
+    10¹² docs, its distinct dictionary is vocabulary-sized).  Below the
+    cap semantics are exact; above it the least-frequent dictionary tail
+    stops attracting fallback matches — a documented knob, not an OOM."""
+    dict_rows = (
+        fields.groupBy("data_type", "data_format", "interpreted_value")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(
+            F.col("freq").desc(),
+            "data_type",
+            "interpreted_value",
+            "data_format",
+        )
+        .limit(dict_cap)
+        .collect()
+    )
     snapshot = [
         (r["data_type"], r["data_format"], r["interpreted_value"])
-        for r in fields.select(
-            "data_type", "data_format", "interpreted_value"
-        ).collect()
+        for r in dict_rows
     ]
-    snapshot.sort(key=lambda t: (t[0], t[2] or ""))
-    all_types = sorted({t[0] for t in snapshot})
+    snapshot.sort(key=lambda t: (t[0], t[2] or "", t[1] or ""))
+    # the F7 existence guard needs every type, even one whose values all
+    # fell out of the cap: a handful of distinct types, collected cheaply
+    all_types = sorted(
+        r[0] for r in fields.select("data_type").distinct().collect()
+    )
     bc = spark.sparkContext.broadcast((snapshot, all_types))
 
     present = fields.groupBy(

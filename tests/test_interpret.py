@@ -159,3 +159,23 @@ def test_interpret_all_on_labels(spark):
         spark, blocks, gazetteer(spark, sd), taxonomy(spark)
     ).collect()
     assert sorted(map(tuple, fields)) == sorted(map(tuple, again))
+
+
+def test_interpret_full_golden_sf001(spark):
+    """End-to-end composition pin: the full interpret pipeline output at
+    sf0.01 must match the checked-in golden parquet row-for-row.  Catches
+    stage-composition regressions that per-stage oracles can't (the
+    fuzzywuzzy DP stage has no DuckDB twin)."""
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    df = E.queries()["interpret_full"](spark, "/root/testdata/sf0.01")
+    got = (
+        df.toPandas()
+        .sort_values(list(df.columns))
+        .reset_index(drop=True)
+    )
+    want = pd.read_parquet("/root/repo/tests/fixtures/interpret_full_sf001.parquet")
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
