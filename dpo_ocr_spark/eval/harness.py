@@ -98,6 +98,38 @@ def _auto_long(fields: DataFrame) -> DataFrame:
     )
 
 
+def accuracy_over_auto(
+    spark: SparkSession,
+    sf_dir: str,
+    auto_long: DataFrame,
+    sizes: list[str],
+) -> DataFrame:
+    """Per (field, reference_size) accuracy over the §3.3 auto TABLE
+    (long form url/reference_size/field/value) — the table the reference's
+    published accuracy pages aggregate (ui/app_ento.R:556-620); exact
+    match, restricted to the sizes the cascade ran."""
+    golden = golden_long(spark, sf_dir)
+    sp = splits(spark, sf_dir).filter(
+        (F.col("ref_or_test") == "test")
+        & F.col("reference_size").isin(list(sizes))
+    )
+    j = golden.join(sp, "url").join(
+        auto_long, ["url", "reference_size", "field"], "left"
+    )
+    matched = F.when(F.col("value") == F.col("data"), F.col("value"))
+    return (
+        j.select("field", "reference_size", "data", matched.alias("m"))
+        .groupBy("field", "reference_size")
+        .agg(
+            F.round(F.count("m") * 100.0 / F.count("data"), 2).alias(
+                "pct_matched"
+            ),
+            F.count("data").alias("n_golden"),
+            F.count("m").alias("n_matched"),
+        )
+    )
+
+
 def accuracy(
     spark: SparkSession,
     sf_dir: str,

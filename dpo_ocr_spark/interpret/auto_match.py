@@ -1,0 +1,218 @@
+"""§3.3 auto-match cascade (reference auto_id_compare.py:276-311, 519-555;
+thresholds settings.py.template:50-56: insert_min=180, token_set_ratio_min=96,
+geo_min=96).
+
+Per test-split block, per field: every word-substring candidate is scored
+against the ref-split golden dictionary with fuzz.ratio + fuzz.partial_ratio;
+the best (score, string_len) candidate is upserted when score > 180, else the
+token_set_ratio fallback fires, else the geo gazetteer pass (fuzz.ratio > 96,
+inserting the GAZETTEER name, not the candidate).
+
+Pinned reference quirks (do not "fix"):
+- candidates are ``' '.join(words[i:j])`` for ``i < n-1, i+1 <= j <= n-1``
+  (auto_id_compare.py:283-285): the slice is exclusive and j never reaches n,
+  so NO candidate ever contains the block's last word, and a 1-word block has
+  no candidates at all.
+- ``alpha_block = re.sub(r'\\W+ ,-/', '', text)`` matches a run of non-word
+  chars followed by the literal " ,-/" — i.e. almost never; string_len is
+  effectively len(candidate) after whitespace-collapse + '.'→'. ' respacing
+  (:286-288).
+- stage 2 computes ``max(score3)`` and the rows achieving it (res_top) but
+  then takes ``nsmallest(1, 'string_len')`` over ALL scored rows and gates on
+  THAT row's score3 (:304-309) — res_top is dead code; the globally-shortest
+  candidate row decides, not the best token_set row.
+- stage 1 inserts the CANDIDATE substring; the geo stage inserts the
+  gazetteer NAME (:310 vs :553).
+- upsert ON CONFLICT (filename, reference_size) DO UPDATE SET field: the
+  last-processed block of a document wins per field (:310).
+
+Determinism policy (the reference iterates DB result order, which is
+unspecified): dictionary values are deduped + sorted ascending; pandas
+nlargest/nsmallest keep='first' tie-breaks are reproduced with strict
+comparisons over that pinned order.
+
+Scale shape: blocks×sizes is a broadcast-dim join; dictionaries are
+vocabulary-sized (distinct golden values), collected + broadcast — the same
+documented tiny-dim pattern as interpret/match.py.  All scoring runs inside
+Arrow batches (mapInPandas); no per-row Python UDFs, no driver loops over
+data.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .fuzzy import partial_ratio, ratio, token_set_ratio
+
+AUTO_SIZES = ["0.05", "0.1", "0.2"]  # the sizes the reference loop runs
+INSERT_MIN = 180
+TOKEN_SET_MIN = 96
+GEO_MIN = 96
+FIELD_ORDER = ["collector", "verbatim_date", "elevation"]  # dict field order
+
+AUTO_SCHEMA = (
+    "url string, reference_size string, field string, value string, "
+    "stage string, block int"
+)
+
+# the reference's (ineffective) alpha scrub — kept verbatim
+_ALPHA_RE = re.compile(r"\W+ ,-/")
+
+
+def candidates_of(block_text: str) -> list[tuple[str, int]]:
+    """(candidate, string_len) pairs in reference generation order."""
+    words = (block_text or "").split(" ")
+    n = len(words)
+    out: list[tuple[str, int]] = []
+    for i in range(n - 1):
+        for j in range(i + 1, n):  # j < n: the last word is never included
+            text = " ".join(words[i:j])
+            alpha = _ALPHA_RE.sub("", text)
+            alpha = (
+                " ".join(alpha.split())
+                .replace(" .", ".")
+                .replace(".", ". ")
+                .strip()
+            )
+            if len(alpha) > 3:
+                out.append((text, len(alpha)))
+    return out
+
+
+def cascade_rows(
+    block_text: str,
+    dict_by_field: list[tuple[str, list[str]]],
+    gazetteer: list[str],
+) -> list[tuple[str, str, str]]:
+    """(field, value, stage) emissions for one block."""
+    cands = candidates_of(block_text)
+    out: list[tuple[str, str, str]] = []
+    if not cands:
+        return out
+    for field, values in dict_by_field:
+        best: tuple[int, int, str] | None = None  # (score, slen, text)
+        min_row: tuple[int, str, str] | None = None  # (slen, text, data)
+        for text, slen in cands:
+            tl = text.lower()
+            for data in values:
+                dl = data.lower()
+                score = partial_ratio(tl, dl) + ratio(tl, dl)
+                if best is None or (score, slen) > (best[0], best[1]):
+                    best = (score, slen, text)
+                if min_row is None or slen < min_row[0]:
+                    min_row = (slen, text, data)
+        if best is None:
+            continue
+        if best[0] > INSERT_MIN:
+            out.append((field, best[2], "score"))
+        elif min_row is not None:
+            # quirk: the globally-shortest row decides, not the max-score3 row
+            s3 = token_set_ratio(min_row[1].lower(), min_row[2].lower())
+            if s3 > TOKEN_SET_MIN:
+                out.append((field, min_row[1], "token_set"))
+    gbest: tuple[int, int, str] | None = None  # (score2, slen, name)
+    for text, slen in cands:
+        tl = text.lower()
+        for name in gazetteer:
+            s2 = ratio(tl, name.lower())
+            if gbest is None or (s2, slen) > (gbest[0], gbest[1]):
+                gbest = (s2, slen, name)
+    if gbest is not None and gbest[0] > GEO_MIN:
+        out.append(("country", gbest[2], "geo"))  # the gazetteer name
+    return out
+
+
+def _ref_dictionaries(
+    spark: SparkSession, sf_dir: str, sizes: list[str]
+) -> dict[str, dict[str, list[str]]]:
+    """{size: {field: sorted distinct ref-split golden values}}."""
+    from ..eval.harness import golden_long, splits
+
+    ref = (
+        golden_long(spark, sf_dir)
+        .join(
+            splits(spark, sf_dir).filter(F.col("ref_or_test") == "ref"),
+            "url",
+        )
+        .filter(F.col("reference_size").isin(sizes))
+        .select("reference_size", "field", "data")
+        .distinct()
+        .collect()  # vocabulary-sized by construction
+    )
+    dicts: dict[str, dict[str, list[str]]] = {s: {} for s in sizes}
+    for r in ref:
+        dicts[r["reference_size"]].setdefault(r["field"], []).append(r["data"])
+    for by_field in dicts.values():
+        for vals in by_field.values():
+            vals.sort()
+    return dicts
+
+
+def auto_match(
+    spark: SparkSession,
+    sf_dir: str,
+    blocks: DataFrame | None = None,
+    sizes: list[str] | None = None,
+) -> DataFrame:
+    """The auto table (long form): one row per (url, size, field) upsert."""
+    from ..eval.harness import splits
+    from .labels import auto_blocks
+
+    sizes = sizes or AUTO_SIZES
+    if blocks is None:
+        blocks = auto_blocks(spark, sf_dir)
+    dicts = _ref_dictionaries(spark, sf_dir, sizes)
+    gazetteer = sorted(
+        r[0]
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select("n_name")
+        .distinct()
+        .collect()
+    )
+    bc = spark.sparkContext.broadcast((dicts, gazetteer))
+    work = blocks.join(
+        F.broadcast(
+            splits(spark, sf_dir).filter(
+                (F.col("ref_or_test") == "test")
+                & F.col("reference_size").isin(sizes)
+            )
+        ),
+        "url",
+    )
+
+    cols = ["url", "reference_size", "field", "value", "stage", "block"]
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        d_all, gaz = bc.value
+        for pdf in it:
+            rows: list[tuple[Any, ...]] = []
+            for url, size, block, text in zip(
+                pdf["url"], pdf["reference_size"], pdf["block"],
+                pdf["block_text"],
+            ):
+                by_field = d_all.get(size, {})
+                ordered = [
+                    (f_, by_field[f_]) for f_ in FIELD_ORDER if f_ in by_field
+                ]
+                for field, value, stage in cascade_rows(text, ordered, gaz):
+                    rows.append((url, size, field, value, stage, int(block)))
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                {c: pd.Series(dtype=object) for c in cols}
+            )
+
+    out = work.mapInPandas(run, schema=AUTO_SCHEMA)
+    # ON CONFLICT (filename, reference_size) DO UPDATE SET field → the
+    # last-processed block wins per (url, size, field); block order pinned
+    w = W.partitionBy("url", "reference_size", "field").orderBy(
+        F.col("block").desc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "block")
+    )

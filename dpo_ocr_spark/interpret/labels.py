@@ -70,6 +70,48 @@ def label_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b0.unionByName(b1).unionByName(b2).unionByName(b3)
 
 
+def auto_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_blocks + cascade-shaped blocks for the §3.3 auto-match flow.
+
+    The cascade's candidate generator never includes a block's LAST word
+    (auto_id_compare.py:283-285 quirk), so the 2-word label blocks yield
+    only their first word as a candidate.  These blocks carry a trailing
+    filler word so the value itself becomes a candidate substring:
+      4: 'Coll. <c_name> det.'             — collector hits when the same
+         customer has orders in both ref and test splits
+      5: 'in <customer nation> near camp'  — geo gazetteer hit (fuzz.ratio
+         100 vs the nation name → inserts the gazetteer name)
+    """
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 100 == 0)
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.concat(F.lit("label://"), F.col("o_orderkey")).alias("url"),
+            F.col("c_name").alias("cname"),
+            F.col("n_name").alias("nname"),
+        )
+    )
+    b4 = o.select(
+        "url", F.lit(4).alias("block"), F.lit(4).alias("word_line"),
+        F.concat(F.lit("Coll. "), F.col("cname"), F.lit(" det.")).alias(
+            "block_text"
+        ),
+    )
+    b5 = o.select(
+        "url", F.lit(5).alias("block"), F.lit(5).alias("word_line"),
+        F.concat(F.lit("in "), F.col("nname"), F.lit(" near camp")).alias(
+            "block_text"
+        ),
+    )
+    return label_blocks(spark, sf_dir).unionByName(b4).unionByName(b5)
+
+
 def label_blocks_with_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """label_blocks + locality (4) and taxonomy (5) blocks that hit the
     synthetic dims exactly (score 100) — exercises match_localities /

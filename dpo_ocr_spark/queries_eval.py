@@ -142,6 +142,35 @@ _register(
 )
 
 
+# --- §3.3 auto-match cascade (auto_id_compare.py:276-311, 519-555) -----------
+# rows-only: the fuzzywuzzy indel DP (substitution cost 2) has no DuckDB
+# twin (levenshtein() substitutes at cost 1, and there is no LCS builtin).
+# Thresholds + quirks are pinned in tests/test_auto_match.py instead.
+
+
+def _q_auto_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .interpret.auto_match import auto_match
+
+    return auto_match(spark, sf_dir)
+
+
+_register("auto_match", _q_auto_match)
+
+
+def _q_accuracy_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's published accuracy tables (ui/app_ento.R:556-620)
+    are computed over the auto TABLE, not interpret output — this is that
+    variant."""
+    from .interpret.auto_match import AUTO_SIZES, auto_match
+
+    return H.accuracy_over_auto(
+        spark, sf_dir, auto_match(spark, sf_dir), AUTO_SIZES
+    )
+
+
+_register("eval_accuracy_auto", _q_accuracy_auto)
+
+
 # --- span export -------------------------------------------------------------
 
 
