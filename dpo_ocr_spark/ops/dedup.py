@@ -426,3 +426,75 @@ def embedding_neardup_pairs(
         .select("vec_a", "vec_b")
     )
     return pairs
+
+
+def embedding_neardup_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    t_num: int = 2,
+    t_den: int = 5,
+    max_bucket: int = MAX_GROUP,
+) -> DataFrame:
+    """Scale path for embedding near-dup (the REGISTERED query): candidate
+    pairs are restricted to same-(table, bucket) random-hyperplane LSH
+    collisions (union over the 8 tables), then decided by the same EXACT
+    integer cosine gate as the all-pairs twin.  Deterministic-approximate:
+    pairs never colliding in any table are missed — recall vs the all-pairs
+    oracle twin (embedding_neardup_pairs) is pinned in pytest, and the
+    DuckDB oracle re-derives the identical buckets, so the driver hash is
+    still exact.
+
+    Scale shape: one matmul per Arrow batch for all table buckets, one
+    groupBy(tbl, bucket) shuffle with the hot-bucket cap
+    (drop_stats('embedding_neardup')), in-array pair fan-out, then two
+    hash joins on vec_id to fetch vectors — NEVER an O(n²) self-join."""
+    from .similarity import _all_buckets_udf
+
+    emb = _quantized(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    dims = len(emb.select("q").first().q)  # driver-side metadata lookup
+    tabbed = emb.select(
+        "vec_id",
+        F.posexplode(_all_buckets_udf(dims)("q")).alias("tbl", "bucket"),
+    )
+    pairs = (
+        _capped_groups(
+            tabbed.groupBy("tbl", "bucket").agg(
+                F.sort_array(F.collect_list("vec_id")).alias("ids")
+            ),
+            "embedding_neardup",
+            max_bucket,
+        )
+        .select(F.explode(_pair_combos("ids")).alias("p"))
+        .select(
+            F.col("p.doc_a").alias("vec_a"), F.col("p.doc_b").alias("vec_b")
+        )
+        .distinct()
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("norm2").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("norm2").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * (t_den * t_den)
+                >= F.lit(t_num * t_num) * F.col("na") * F.col("nb")
+            )
+        )
+        .select("vec_a", "vec_b")
+    )

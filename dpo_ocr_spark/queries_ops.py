@@ -78,6 +78,35 @@ n AS (
 )
 """
 
+# shared LSH bucket derivation (ann_lsh + embedding_neardup oracles): the
+# md5-derived ±1 hyperplanes, integer sign bits (quantized dot > 0 —
+# exact) re-derived in DuckDB from first principles.
+_LSH_BUCKETS_CTE = f"""
+dims AS (SELECT len(embedding) AS nd FROM embeddings LIMIT 1),
+planes AS (
+  SELECT rt.range AS t, rp.range AS p,
+         list_transform(range(CAST((SELECT nd FROM dims) AS BIGINT)),
+           d -> CASE WHEN substring(md5(CAST(rt.range AS VARCHAR) || ':' ||
+                       CAST(rp.range AS VARCHAR) || '|' ||
+                       CAST(d AS VARCHAR)), 1, 1)
+                   IN ('8','9','a','b','c','d','e','f')
+                THEN 1 ELSE -1 END) AS signs
+  FROM range({S.LSH_TABLES}) rt, range({S.LSH_PLANES}) rp
+),
+bits AS (
+  SELECT n.vec_id, pl.t, pl.p,
+         CASE WHEN CAST(list_dot_product(
+                list_transform(n.qv, x -> CAST(x AS DOUBLE)),
+                list_transform(pl.signs, x -> CAST(x AS DOUBLE)))
+              AS BIGINT) > 0 THEN 1 ELSE 0 END AS bit
+  FROM n CROSS JOIN planes pl
+),
+buckets AS (
+  SELECT vec_id, t AS tbl,
+         CAST(SUM(bit * (1 << p)) AS INT) AS bucket
+  FROM bits GROUP BY vec_id, t
+)"""
+
 _STOP_EN = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
 
 
@@ -232,23 +261,43 @@ FROM bc a JOIN bc c
 """,
 )
 
+# embedding_neardup is the LSH-BUCKETED scale path (the registered query):
+# candidates = same-(table, bucket) collisions with the hot-bucket cap,
+# decided by the exact integer cosine gate.  Deterministic-approximate —
+# the DuckDB oracle re-derives the identical buckets so the hash stays
+# exact; recall vs the all-pairs twin (embedding_neardup_pairs, kept as
+# the pytest baseline) is pinned in tests/test_ops.py.
 _register(
     "embedding_neardup",
-    D.embedding_neardup_pairs,
+    D.embedding_neardup_lsh,
     f"""
-WITH {_Q_CTE}
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE CAST(list_dot_product(list_transform(a.qv, x -> CAST(x AS DOUBLE)),
-                            list_transform(b.qv, x -> CAST(x AS DOUBLE)))
+WITH {_Q_CTE},
+{_LSH_BUCKETS_CTE},
+ok AS (
+  SELECT tbl, bucket FROM buckets GROUP BY tbl, bucket
+  HAVING COUNT(*) <= {D.MAX_GROUP}
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM buckets a
+  JOIN ok ON ok.tbl = a.tbl AND ok.bucket = a.bucket
+  JOIN buckets c ON c.tbl = a.tbl AND c.bucket = a.bucket
+                AND a.vec_id < c.vec_id
+)
+SELECT vec_a, vec_b
+FROM pairs
+JOIN n na ON na.vec_id = vec_a
+JOIN n nb ON nb.vec_id = vec_b
+WHERE CAST(list_dot_product(list_transform(na.qv, x -> CAST(x AS DOUBLE)),
+                            list_transform(nb.qv, x -> CAST(x AS DOUBLE)))
            AS BIGINT) > 0
-  AND CAST(list_dot_product(list_transform(a.qv, x -> CAST(x AS DOUBLE)),
-                            list_transform(b.qv, x -> CAST(x AS DOUBLE)))
+  AND CAST(list_dot_product(list_transform(na.qv, x -> CAST(x AS DOUBLE)),
+                            list_transform(nb.qv, x -> CAST(x AS DOUBLE)))
            AS BIGINT)
-      * CAST(list_dot_product(list_transform(a.qv, x -> CAST(x AS DOUBLE)),
-                              list_transform(b.qv, x -> CAST(x AS DOUBLE)))
+      * CAST(list_dot_product(list_transform(na.qv, x -> CAST(x AS DOUBLE)),
+                              list_transform(nb.qv, x -> CAST(x AS DOUBLE)))
              AS BIGINT) * 25
-      >= 4 * a.norm2 * b.norm2
+      >= 4 * na.norm2 * nb.norm2
 """,
 )
 
@@ -286,30 +335,7 @@ FROM ranked WHERE rn <= {S.TOP_K}
 # re-derived in DuckDB from first principles.
 _LSH_ORACLE = f"""
 WITH {_Q_CTE},
-dims AS (SELECT len(embedding) AS nd FROM embeddings LIMIT 1),
-planes AS (
-  SELECT rt.range AS t, rp.range AS p,
-         list_transform(range(CAST((SELECT nd FROM dims) AS BIGINT)),
-           d -> CASE WHEN substring(md5(CAST(rt.range AS VARCHAR) || ':' ||
-                       CAST(rp.range AS VARCHAR) || '|' ||
-                       CAST(d AS VARCHAR)), 1, 1)
-                   IN ('8','9','a','b','c','d','e','f')
-                THEN 1 ELSE -1 END) AS signs
-  FROM range({S.LSH_TABLES}) rt, range({S.LSH_PLANES}) rp
-),
-bits AS (
-  SELECT n.vec_id, pl.t, pl.p,
-         CASE WHEN CAST(list_dot_product(
-                list_transform(n.qv, x -> CAST(x AS DOUBLE)),
-                list_transform(pl.signs, x -> CAST(x AS DOUBLE)))
-              AS BIGINT) > 0 THEN 1 ELSE 0 END AS bit
-  FROM n CROSS JOIN planes pl
-),
-buckets AS (
-  SELECT vec_id, t AS tbl,
-         CAST(SUM(bit * (1 << p)) AS INT) AS bucket
-  FROM bits GROUP BY vec_id, t
-),
+{_LSH_BUCKETS_CTE},
 probes AS (
   SELECT b.vec_id AS query_id, b.tbl, u.qb
   FROM buckets b,

@@ -185,3 +185,24 @@ def test_hot_lsh_bucket_cap(spark):
 
     uncapped = D.lsh_pairs_from_signatures(sig)  # default cap ≥ n
     assert uncapped.count() == n * (n - 1) // 2
+
+
+def test_embedding_neardup_lsh_vs_allpairs(spark):
+    """The registered LSH-gated near-dup must be a SUBSET of the exact
+    all-pairs twin (the gate is identical; only candidates differ), with
+    recall above the multi-table collision bound, and its plan must not
+    contain the O(n²) self-join."""
+    from dpo_ocr_spark.ops import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.vec_a, r.vec_b) for r in D.embedding_neardup_pairs(spark, sf).collect()
+    }
+    lsh_df = D.embedding_neardup_lsh(spark, sf)
+    lsh = {(r.vec_a, r.vec_b) for r in lsh_df.collect()}
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5, f"recall {len(lsh)}/{len(exact)}"
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
