@@ -25,7 +25,10 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "8"))
+# ×48 is the PINNED protocol (matches BENCH/BASELINE.md's 240k-doc staged
+# corpus): round-over-round throughput is only comparable at equal input —
+# r01 ran ×8 and read 41.5k docs/s purely from fixed-overhead amortization.
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "48"))
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

@@ -339,9 +339,19 @@ def simhash64_py(words: list[str]) -> int:
     return out
 
 
-def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash(
+    spark: SparkSession, sf_dir: str, ascii_guard: bool = True
+) -> DataFrame:
     """SimHash fingerprints via Arrow batches (bit-majority not portably
-    SQL-expressible; emitted as two 32-bit halves to stay in signed longs)."""
+    SQL-expressible; emitted as two 32-bit halves to stay in signed longs).
+
+    ``ascii_guard``: the DuckDB oracle re-derives FNV-1a over per-CHAR
+    code points (ascii(substring(word, i, 1))) while the kernel hashes
+    UTF-8 BYTES, and Python str.split() differs from RE2 '\\s' on Unicode
+    whitespace — identical only on ASCII text.  The registered query
+    keeps the guard ON so a non-ASCII corpus fails loudly here instead of
+    as an inscrutable driver hash mismatch; pass False for real corpora
+    (the kernel itself is UTF-8-correct; only the oracle twin is not)."""
     import pandas as pd
     from collections.abc import Iterator
 
@@ -349,6 +359,16 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if ascii_guard:
+                for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                    if t and not t.isascii():
+                        raise ValueError(
+                            f"simhash oracle contract: doc_id={doc_id} "
+                            "contains non-ASCII text; the DuckDB oracle "
+                            "only matches the UTF-8 kernel on ASCII — "
+                            "run simhash(..., ascii_guard=False) and drop "
+                            "the oracle, or extend it to byte-level FNV"
+                        )
             hs = [
                 simhash64_py((t or "").lower().split())
                 for t in pdf["text"]

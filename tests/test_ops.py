@@ -206,3 +206,25 @@ def test_embedding_neardup_lsh_vs_allpairs(spark):
     plan = lsh_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_ascii_guard(spark):
+    """Non-ASCII text must fail LOUDLY in the registered simhash query
+    (the DuckDB oracle is byte-vs-codepoint divergent off ASCII), and the
+    guard must be liftable for real corpora."""
+    import pytest as _pytest
+
+    from dpo_ocr_spark.ops.dedup import simhash, simhash64_py
+
+    import pyspark
+
+    docs = spark.createDataFrame(
+        [(1, "café au lait")], "doc_id long, text string"
+    )
+    tmp = "/tmp/simhash_guard_docs"
+    docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    with _pytest.raises(Exception, match="non-ASCII"):
+        simhash(spark, tmp).collect()
+    rows = simhash(spark, tmp, ascii_guard=False).collect()
+    h = simhash64_py("café au lait".split())
+    assert (rows[0].simhash_hi << 32 | rows[0].simhash_lo) == h
