@@ -16,6 +16,10 @@ deterministically (no locale, no current-time dependence except an explicit
 - 2-digit years resolve to 2000+YY — matching the behavior the reference
   observed and then "fixed" by subtracting 1000
   (block_identification.py:169-171: "If it interprets year 64 as 2064");
+- ordinal day tokens ("3rd", "21st") and fr/de/es/it/pt month names
+  (accent-folded variants included) — the slice of dateparser's wider
+  format/locale surface real corpora hit (format matrix pinned in
+  tests/test_interpret.py::test_dateparser_format_matrix);
 - returns (year, month, day) or None.
 """
 
@@ -31,7 +35,41 @@ MONTHS = {
     "december": 12,
 }
 
+# dateparser's multi-locale surface, the deterministic unambiguous subset
+# (fr/de/es/it/pt full names + common abbreviations; accent-folded ASCII
+# variants included — real OCR output often loses diacritics).  Strictly
+# additive: every English key above keeps its meaning, and no locale form
+# collides with a different month.
+_LOCALE_MONTHS = {
+    # French
+    "janvier": 1, "janv": 1, "fevrier": 2, "février": 2, "fevr": 2,
+    "mars": 3, "avril": 4, "avr": 4, "mai": 5, "juin": 6, "juillet": 7,
+    "juil": 7, "aout": 8, "août": 8, "septembre": 9, "octobre": 10,
+    "novembre": 11, "decembre": 12, "décembre": 12,
+    # German
+    "januar": 1, "februar": 2, "marz": 3, "märz": 3, "maerz": 3,
+    "april": 4, "juni": 6, "juli": 7, "okt": 10, "oktober": 10,
+    "dez": 12, "dezember": 12,
+    # Spanish
+    "enero": 1, "ene": 1, "febrero": 2, "marzo": 3, "abril": 4, "abr": 4,
+    "mayo": 5, "junio": 6, "julio": 7, "agosto": 8, "ago": 8,
+    "septiembre": 9, "setiembre": 9, "set": 9, "octubre": 10,
+    "noviembre": 11, "diciembre": 12, "dic": 12,
+    # Italian
+    "gennaio": 1, "gen": 1, "febbraio": 2, "maggio": 5, "mag": 5,
+    "giugno": 6, "giu": 6, "luglio": 7, "lug": 7, "settembre": 9,
+    "ottobre": 10, "ott": 10, "dicembre": 12,
+    # Portuguese
+    "janeiro": 1, "fevereiro": 2, "marco": 3, "março": 3, "maio": 5,
+    "junho": 6, "julho": 7, "setembro": 9, "outubro": 10, "out": 10,
+    "novembro": 11, "dezembro": 12,
+}
+MONTHS = {**_LOCALE_MONTHS, **MONTHS}  # English wins any residual overlap
+
 _SPLIT = re.compile(r"[\s\-/,.]+")
+
+# dateparser accepts ordinal day tokens ("3rd", "21st"); digits + suffix
+_ORDINAL = re.compile(r"^(\d+)(st|nd|rd|th)$", re.IGNORECASE)
 
 _DAYS_IN_MONTH = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
 
@@ -52,13 +90,18 @@ def parse(text: str, date_order: str) -> tuple[int, int, int] | None:
         return None
     month_name: int | None = None
     nums: list[str] = []
+    ordinals: set[int] = set()  # indices of '3rd'-style tokens: DAYS, never years
     for t in raw:
+        ordinal = _ORDINAL.match(t)
         if t.lower() in MONTHS:
             if month_name is not None:
                 return None  # two month words — ambiguous, refuse
             month_name = MONTHS[t.lower()]
         elif t.isdigit():
             nums.append(t)
+        elif ordinal:
+            ordinals.add(len(nums))
+            nums.append(ordinal.group(1))  # '3rd' → '3' (day ordinal)
         else:
             return None  # stray token — not a pure date string
 
@@ -71,13 +114,21 @@ def parse(text: str, date_order: str) -> tuple[int, int, int] | None:
 
     if month_name is not None:
         if len(nums) == 1:
+            if 0 in ordinals:
+                return None  # '21st May': an explicit DAY, no year → refuse
             y = year_of(nums[0])
             return (y, month_name, 1) if y else None
         if len(nums) == 2:
-            # day + year in either position; 4-digit (or the later token)
-            # is the year, the other the day
+            # day + year in either position; an ordinal token is always the
+            # day, else the 4-digit (or the later) token is the year
             a, b = nums
-            if len(a) == 4 and 1000 <= int(a) <= 2999:
+            if 0 in ordinals or 1 in ordinals:
+                d_idx = 0 if 0 in ordinals else 1
+                y = year_of(nums[1 - d_idx])
+                if y is None:
+                    return None
+                d = int(nums[d_idx])
+            elif len(a) == 4 and 1000 <= int(a) <= 2999:
                 y, d = int(a), int(b)
             elif len(b) == 4 and 1000 <= int(b) <= 2999:
                 y, d = int(b), int(a)

@@ -179,3 +179,42 @@ def test_interpret_full_golden_sf001(spark):
     want = pd.read_parquet("/root/repo/tests/fixtures/interpret_full_sf001.parquet")
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+_MATRIX = [
+    # (text, {order: expected}) — expected shared across orders unless split
+    ("Sept. 3rd, 1923", {"DMY": (1923, 9, 3), "YMD": (1923, 9, 3), "MDY": (1923, 9, 3)}),
+    ("September 1923", {"DMY": (1923, 9, 1), "YMD": (1923, 9, 1), "MDY": (1923, 9, 1)}),
+    ("3 September 1923", {"DMY": (1923, 9, 3), "YMD": (1923, 9, 3), "MDY": (1923, 9, 3)}),
+    ("1923 Sep 21", {"DMY": (1923, 9, 21), "YMD": (1923, 9, 21), "MDY": (1923, 9, 21)}),
+    ("21st May 43", {"DMY": (2043, 5, 21), "YMD": (2043, 5, 21), "MDY": (2043, 5, 21)}),
+    # numeric forms obey DATE_ORDER; impossible assignments → None
+    ("03/05/1923", {"DMY": (1923, 5, 3), "MDY": (1923, 3, 5), "YMD": None}),
+    ("1923-05-03", {"YMD": (1923, 5, 3), "DMY": None, "MDY": None}),
+    ("05/1923", {"DMY": (1923, 5, 1), "YMD": (1923, 5, 1), "MDY": (1923, 5, 1)}),
+    # locale month names (accent and accent-folded)
+    ("décembre 1923", {"DMY": (1923, 12, 1)}),
+    ("decembre 1923", {"DMY": (1923, 12, 1)}),
+    ("Dezember 2, 1950", {"DMY": (1950, 12, 2)}),
+    ("enero 2, 1950", {"DMY": (1950, 1, 2)}),
+    ("2 maggio 1950", {"DMY": (1950, 5, 2)}),
+    ("15 mars 1887", {"DMY": (1887, 3, 15)}),
+    ("outubro 1901", {"DMY": (1901, 10, 1)}),
+    # REQUIRE_PARTS=['month','year'] refusals
+    ("21st May", {"DMY": None}),
+    ("1923", {"DMY": None}),
+    ("hello 1923", {"DMY": None}),
+    ("May June 1923", {"DMY": None}),
+    # day validity
+    ("31 Feb 1923", {"DMY": None}),
+    ("30th April 1923", {"DMY": (1923, 4, 30)}),
+]
+
+
+@pytest.mark.parametrize("text,byorder", _MATRIX)
+def test_dateparser_format_matrix(text, byorder):
+    """DATE_ORDER × format matrix over dateparser's wider surface
+    (reference settings block_identification.py:136-138: PREFER_DAY_OF_
+    MONTH='first', REQUIRE_PARTS=['month','year'])."""
+    for order, want in byorder.items():
+        assert parse(text, order) == want, (text, order)
