@@ -142,3 +142,54 @@ def json_response_sink(extracted: DataFrame, path: str) -> None:
             F.struct("url", "payload_kind", "text", "n_tokens", "tokens")
         ).alias("value")
     ).write.mode("overwrite").text(path)
+
+
+def annotate_plan(
+    tokens: DataFrame,
+    line_width: int = 3,
+    page_w: int = 2000,
+    page_h: int = 100,
+) -> DataFrame:
+    """S12 annotated-image sink, split into its deterministic DRAW PLAN
+    (this table) and the rasterize step (PIL absent in this container —
+    same codec boundary as ops/multimodal.decode_stub).
+
+    Reference run_gvision_ocr.py:185-260: per block, a confidence color
+    class (>0.9 green, >0.8 yellow, >0.7 orange, else red) and the quad
+    outset by line_width, clamped to the page box; the sink then draws 4
+    lines 0→1→2→3→0 between consecutive corners.  This table IS the
+    sink's full information content — every drawn pixel is a pure
+    function of one row.
+
+    Color thresholds are evaluated in EXACT integer arithmetic
+    (sum(conf_x100) > t·n ⇔ mean(conf) > t/100) so the DuckDB oracle and
+    a float mean can never disagree at a threshold boundary."""
+    t = tokens.filter(F.col("bbox").isNotNull())
+    g = t.groupBy("url", "block").agg(
+        F.min(F.element_at("bbox", 1)).alias("bx0"),
+        F.min(F.element_at("bbox", 2)).alias("by0"),
+        F.max(F.element_at("bbox", 5)).alias("bx1"),
+        F.max(F.element_at("bbox", 6)).alias("by1"),
+        F.sum(F.round(F.col("confidence") * 100).cast("long")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    color = (
+        F.when(F.col("s") > 90 * F.col("n"), "#66ff33")
+        .when(F.col("s") > 80 * F.col("n"), "#ffdb4d")
+        .when(F.col("s") > 70 * F.col("n"), "#ffa366")
+        .otherwise("#ff6666")
+    )
+    w = line_width
+    return g.select(
+        "url",
+        F.col("block").cast("int").alias("block"),
+        color.alias("linecolor"),
+        F.greatest(F.col("bx0") - w, F.lit(0)).cast("int").alias("ax0"),
+        F.greatest(F.col("by0") - w, F.lit(0)).cast("int").alias("ay0"),
+        F.least(F.col("bx1") + w, F.lit(page_w)).cast("int").alias("ax1"),
+        F.greatest(F.col("by0") - w, F.lit(0)).cast("int").alias("ay1"),
+        F.least(F.col("bx1") + w, F.lit(page_w)).cast("int").alias("ax2"),
+        F.least(F.col("by1") + w, F.lit(page_h)).cast("int").alias("ay2"),
+        F.greatest(F.col("bx0") - w, F.lit(0)).cast("int").alias("ax3"),
+        F.least(F.col("by1") + w, F.lit(page_h)).cast("int").alias("ay3"),
+    )

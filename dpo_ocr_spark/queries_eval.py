@@ -432,6 +432,59 @@ def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("streaming_extract", _q_streaming_extract)
 
 
+# --- S12 annotated-image sink → draw plan (run_gvision_ocr.py:185-260) -------
+
+
+def _q_annotate_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .export import annotate_plan
+
+    return annotate_plan(_zonal_tokens(spark, sf_dir))
+
+
+def _register_annotate() -> None:
+    from .queries import _TOKENS_CTE
+
+    _register(
+        "annotate_plan",
+        _q_annotate_plan,
+        f"""
+WITH {_TOKENS_CTE},
+geo AS (
+  SELECT doc_id, url, block, word, conf_x100, widx,
+         COALESCE(SUM(8 * length(word) + 8) OVER (
+           PARTITION BY doc_id, block ORDER BY widx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS wx0,
+         24 * block AS wy0
+  FROM tok WHERE doc_id % 5 = 4
+),
+blocks AS (
+  SELECT url, block,
+         MIN(wx0) AS bx0, MIN(wy0) AS by0,
+         MAX(wx0 + 8 * length(word)) AS bx1, MAX(wy0 + 18) AS by1,
+         SUM(conf_x100) AS s, COUNT(*) AS n
+  FROM geo GROUP BY url, block
+)
+SELECT url, CAST(block AS INT) AS block,
+       CASE WHEN s > 90 * n THEN '#66ff33'
+            WHEN s > 80 * n THEN '#ffdb4d'
+            WHEN s > 70 * n THEN '#ffa366'
+            ELSE '#ff6666' END AS linecolor,
+       CAST(greatest(bx0 - 3, 0) AS INT) AS ax0,
+       CAST(greatest(by0 - 3, 0) AS INT) AS ay0,
+       CAST(least(bx1 + 3, 2000) AS INT) AS ax1,
+       CAST(greatest(by0 - 3, 0) AS INT) AS ay1,
+       CAST(least(bx1 + 3, 2000) AS INT) AS ax2,
+       CAST(least(by1 + 3, 100) AS INT) AS ay2,
+       CAST(greatest(bx0 - 3, 0) AS INT) AS ax3,
+       CAST(least(by1 + 3, 100) AS INT) AS ay3
+FROM blocks
+""",
+    )
+
+
+_register_annotate()
+
+
 # --- crop-rect planning (I4 + A5 + C13) ------------------------------------------
 
 

@@ -125,3 +125,34 @@ def test_sinks_roundtrip(tmp_path, spark):
     p3 = str(tmp_path / "csv")
     tokens_csv(explode_tokens(extracted), p3)
     assert spark.read.option("header", True).csv(p3).columns[0] == "word_text"
+
+
+def test_annotate_plan_colors_and_clamps(spark):
+    """S12 draw plan: exact-threshold colors (mean strictly > t) and the
+    outset quad clamped to the page box (run_gvision_ocr.py:185-260)."""
+    from dpo_ocr_spark.export import annotate_plan
+
+    rows = [
+        # block 0: two words mean 0.90 exactly → NOT green (strict >)
+        ("u", 0, 0.92, [0, 0, 80, 0, 80, 18, 0, 18]),
+        ("u", 0, 0.88, [88, 0, 120, 0, 120, 18, 88, 18]),
+        # block 1: mean 0.95 → green; corner clamp at x=0/y=24
+        ("u", 1, 0.95, [0, 24, 40, 24, 40, 42, 0, 42]),
+        # block 2: mean 0.60 → red
+        ("u", 2, 0.60, [0, 48, 40, 48, 40, 66, 0, 66]),
+    ]
+    tokens = spark.createDataFrame(
+        rows, "url string, block int, confidence double, bbox array<int>"
+    )
+    got = {r.block: r for r in annotate_plan(tokens).collect()}
+    assert got[0].linecolor == "#ffdb4d"  # 0.90 is NOT > 0.9
+    assert got[1].linecolor == "#66ff33"
+    assert got[2].linecolor == "#ff6666"
+    b1 = got[1]
+    assert (b1.ax0, b1.ay0) == (0, 21)   # x clamped at 0, y outset by 3
+    assert (b1.ax1, b1.ay1) == (43, 21)
+    assert (b1.ax2, b1.ay2) == (43, 45)
+    assert (b1.ax3, b1.ay3) == (0, 45)
+    # page-box clamp: block 2 bottom edge 66+3=69 < 100 stays; top block
+    # y0-3 clamps at 0 in block 0
+    assert got[0].ay0 == 0
