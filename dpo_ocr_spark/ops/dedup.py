@@ -518,3 +518,81 @@ def embedding_neardup_lsh(
         )
         .select("vec_a", "vec_b")
     )
+
+
+def dedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold_x1000: int = 100,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    labeled with the smallest doc_id in its component (the canonical
+    representative a dedup pipeline keeps).
+
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    (1) takes the min label over graph neighbors, (2) replaces each
+    label by its label's label (path halving).  Jumping makes chains
+    converge in O(log n) rounds instead of O(diameter) — the property
+    that matters at 10¹² docs where a boilerplate chain can be millions
+    long.  Each round is two shuffles on bounded keys; the loop is
+    driver-side control flow over DataFrames (no data ever collects).
+    Convergence is detected by a changed-label count; production jobs
+    checkpoint the label frame every few rounds to truncate lineage
+    (local mode: cache + count materializes each round).
+
+    Deterministic: the min-label fixpoint is unique, so the result is
+    execution-order independent — the DuckDB oracle re-derives it with a
+    recursive reachability CTE."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold_x1000).select(
+        "doc_a", "doc_b"
+    )
+    return clusters_from_edges(docs, pairs, max_iter)
+
+
+def clusters_from_edges(
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Core CC loop over (doc_id) nodes and (doc_a, doc_b) edges."""
+    sym = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .cache()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).cache()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce("nbr_min", "label")
+            ).alias("label"),
+        )
+        parent = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.join(parent, stepped.label == parent.p_id, "left")
+            .select(
+                "doc_id", F.coalesce("p_label", "label").alias("label")
+            )
+            .cache()
+        )
+        changed = (
+            jumped.join(
+                labels.withColumnRenamed("label", "old"), "doc_id"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

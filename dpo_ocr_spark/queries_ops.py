@@ -301,6 +301,44 @@ WHERE CAST(list_dot_product(list_transform(na.qv, x -> CAST(x AS DOUBLE)),
 """,
 )
 
+# dedup_clusters: connected components over the near-dup pair graph.
+# The min-label fixpoint is unique, so the Spark pointer-jumping loop and
+# the DuckDB recursive reachability CTE provably agree row-for-row.
+_register(
+    "dedup_clusters",
+    D.dedup_clusters,
+    f"""
+WITH RECURSIVE {_SH_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shc AS (
+  SELECT * FROM sh WHERE shingle IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {D.MAX_GROUP})
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shc a JOIN shc c ON a.shingle = c.shingle AND a.doc_id < c.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(floor(n_inter * 1000 / (sa.n + sb.n - n_inter)) AS BIGINT) >= 100
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM prs
+  UNION ALL
+  SELECT doc_b, doc_a FROM prs
+),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS lab FROM documents
+  UNION
+  SELECT r.doc, e.b FROM reach r JOIN edges e ON e.a = r.lab
+)
+SELECT doc AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc
+""",
+)
+
 # --- similarity search ----------------------------------------------------------
 
 _register(

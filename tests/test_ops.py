@@ -228,3 +228,22 @@ def test_simhash_ascii_guard(spark):
     rows = simhash(spark, tmp, ascii_guard=False).collect()
     h = simhash64_py("café au lait".split())
     assert (rows[0].simhash_hi << 32 | rows[0].simhash_lo) == h
+
+
+def test_dedup_clusters_topologies(spark):
+    """Connected components: chain (pointer-jumping convergence), cycle,
+    singleton, and two separate components all labeled by component min."""
+    from dpo_ocr_spark.ops.dedup import clusters_from_edges
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # chain 1-2-3-4-5, cycle 6-7-8-6, pair 0-9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8), (8, 6), (0, 9)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in clusters_from_edges(docs, edges).collect()
+    }
+    assert got == {0: 0, 9: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   6: 6, 7: 6, 8: 6}
