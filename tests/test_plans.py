@@ -32,3 +32,43 @@ def test_small_dims_broadcast(spark):
     p = _plan(E.queries()["multiway_join"](spark, SD))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p  # no dim should fall back to SMJ
+
+
+def test_bucketed_join_colocates_without_shuffle(spark, tmp_path):
+    """Scale lever SURVEY §4: pre-bucketing both fact tables on the join
+    key lets repeated joins run with ZERO exchanges — the bucketed scan
+    IS the required distribution.  Gate: the bucketed join plan contains
+    no Exchange on either side; an unbucketed control join does."""
+    import __spark_entry__  # noqa: F401 — path setup
+
+    li = spark.read.parquet(f"{SD}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SD}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    spark.conf.set(
+        "spark.sql.warehouse.dir", str(tmp_path / "wh")
+    )
+    for name, df, key in (
+        ("b_lineitem", li, "l_orderkey"),
+        ("b_orders", orders, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .saveAsTable(name)
+        )
+    joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"),
+        spark.table("b_lineitem").l_orderkey
+        == spark.table("b_orders").o_orderkey,
+    )
+    plan = _plan(joined)
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan
+    control = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    assert "Exchange" in _plan(control)
