@@ -47,9 +47,6 @@ def test_bucketed_join_colocates_without_shuffle(spark, tmp_path):
     orders = spark.read.parquet(f"{SD}/orders.parquet").select(
         "o_orderkey", "o_totalprice"
     )
-    spark.conf.set(
-        "spark.sql.warehouse.dir", str(tmp_path / "wh")
-    )
     for name, df, key in (
         ("b_lineitem", li, "l_orderkey"),
         ("b_orders", orders, "o_orderkey"),
@@ -62,13 +59,20 @@ def test_bucketed_join_colocates_without_shuffle(spark, tmp_path):
             .option("path", str(tmp_path / name))
             .saveAsTable(name)
         )
-    joined = spark.table("b_lineitem").join(
-        spark.table("b_orders"),
-        spark.table("b_lineitem").l_orderkey
-        == spark.table("b_orders").o_orderkey,
-    )
-    plan = _plan(joined)
-    assert "Exchange" not in plan, plan
-    assert "Bucketed: true" in plan
-    control = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    assert "Exchange" in _plan(control)
+    # the fixture tables are broadcast-sized; disable broadcast so the
+    # plan shows the co-located path a 100 TB fact⋈fact join would take
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            spark.table("b_lineitem").l_orderkey
+            == spark.table("b_orders").o_orderkey,
+        )
+        plan = _plan(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan
+        control = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        assert "Exchange hashpartitioning" in _plan(control)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
