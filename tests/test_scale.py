@@ -172,3 +172,11 @@ def test_spark_submit_job_end_to_end(tmp_path, spark):
     assert r2.returncode == 0, r2.stderr[-2000:]
     # everything was done → no new rows appended
     assert spark.read.parquet(out).count() == 500
+    # the DOCUMENTED lineage-path resume (no urls — content-based
+    # partition-id recompute): also a no-op when all partitions committed
+    r3 = subprocess.run(
+        cmd + ["--resume-from", lin],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    assert spark.read.parquet(out).count() == 500
