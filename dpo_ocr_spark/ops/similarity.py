@@ -192,17 +192,26 @@ def _cells_udf(M: np.ndarray, cn2: np.ndarray, nprobe: int):
     return cells
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, fit: str = "sample"
+) -> DataFrame:
     """IVF (inverted-file) ANN: corpus vectors live in their single
     nearest-centroid cell; queries probe their IVF_NPROBE nearest cells;
     exact cosine re-rank inside the probed cells.
+
+    ``fit``: 'sample' = deterministic md5-sample centroids (the registered
+    oracle-checked form); 'kmeans' = the distributed integer-exact Lloyd's
+    fit (_kmeans_fit) — the real-scale choice, same search path.
 
     Scale shape: centroids are a driver-side constant broadcast into the
     assignment UDF (one matmul per Arrow batch), the corpus is scanned
     once, and the only shuffle is the cell-equality join against the
     broadcast query probes — candidates ≈ nprobe/cells of the corpus."""
     emb = _emb(spark, sf_dir)
-    M, cn2 = _ivf_centroids(emb)
+    if fit == "kmeans":
+        M, cn2 = _kmeans_fit(emb, IVF_CELLS, KMEANS_ITERS)
+    else:
+        M, cn2 = _ivf_centroids(emb)
     corpus = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("q").alias("cv"),
@@ -314,4 +323,81 @@ def lsh_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
             "query_id", "cand_id", F.col("rn").alias("rank"),
             F.round("cos", 6).alias("cos_r6"),
         )
+    )
+
+
+KMEANS_ITERS = 2
+
+
+def _assign_cells(emb: DataFrame, M: np.ndarray, cn2: np.ndarray) -> DataFrame:
+    """Nearest-centroid assignment under the portable sim contract."""
+    return emb.select(
+        "vec_id", "q", "norm2",
+        F.element_at(_cells_udf(M, cn2, 1)("q"), 1).alias("cell"),
+    )
+
+
+def _kmeans_fit(emb: DataFrame, k: int, iters: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed Lloyd's iterations with INTEGER-EXACT centroid updates.
+
+    The fit the ann_ivf docstring promises at real scale, kept
+    engine-portable: assignment uses the established exact-int-dot /
+    IEEE-double-sim contract, and each new centroid dimension is the
+    member mean rounded half-away-from-zero in PURE INTEGER arithmetic
+    (s≥0: (2s+c)//(2c), else the negated positive form) — so centroids
+    stay int64 vectors and DuckDB reproduces every round bit-for-bit
+    (no float accumulation, no rounding-mode divergence).  Per round:
+    one matmul-per-batch assignment pass + one (cell, dim) aggregation;
+    only the k×dims centroid table (driver-side constant) is collected.
+    Empty cells keep their previous centroid."""
+    M, cn2 = _ivf_centroids(emb)  # deterministic md5-sample init
+    for _ in range(iters):
+        sums = (
+            _assign_cells(emb, M, cn2)
+            .select("cell", F.posexplode("q").alias("d", "x"))
+            .groupBy("cell", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+            .collect()  # k × dims rows — centroid-table-sized
+        )
+        newM = M.copy()
+        for r in sums:
+            s, c = int(r["s"]), int(r["c"])
+            if s >= 0:
+                v = (2 * s + c) // (2 * c)
+            else:
+                v = -((-2 * s + c) // (2 * c))
+            newM[r["cell"], r["d"]] = v  # posexplode pos is 0-based
+        M = newM
+        cn2 = (M * M).sum(axis=1)
+    return M, cn2
+
+
+def kmeans_centroids(
+    spark: SparkSession, sf_dir: str, k: int = IVF_CELLS,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Fitted IVF centroids + final member counts (oracle-checked: the
+    DuckDB twin unrolls the identical rounds as a CTE chain).  The
+    centroid vector is emitted as a canonical CSV string — array-value
+    stringification differs between engines, csv doesn't."""
+    emb = _emb(spark, sf_dir)
+    M, cn2 = _kmeans_fit(emb, k, iters)
+    final = (
+        _assign_cells(emb, M, cn2)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_members"))
+        .collect()
+    )
+    counts = {r["cell"]: r["n_members"] for r in final}
+    rows = [
+        (
+            int(cell),
+            ",".join(str(int(x)) for x in M[cell]),
+            int(cn2[cell]),
+            int(counts.get(cell, 0)),
+        )
+        for cell in range(k)
+    ]
+    return spark.createDataFrame(
+        rows, "cell int, centroid_csv string, norm2 long, n_members long"
     )

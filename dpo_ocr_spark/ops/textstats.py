@@ -115,3 +115,36 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fp_int"),
     )
+
+
+def host_stats(spark, sf_dir: str):
+    """Host-level skew statistics over the web corpus — the planning
+    input for salting decisions at 100 TB (which hosts exceed a uniform
+    partition's share; FIXTURES.md §1 deliberately concentrates ~10% of
+    urls on one host).  Pure JVM expressions: regexp host parse, one
+    groupBy, integer-exact share (×10000 floored basis points).
+    """
+    from pyspark.sql import functions as F
+
+    from ..corpus import build_web_pages
+    from ..scale import ensure_parallelism
+
+    pages = ensure_parallelism(build_web_pages(spark, sf_dir))
+    total = pages.count()  # scalar job; at scale a cheap metadata count
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    return (
+        pages.groupBy(host.alias("host"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.octet_length("html")).alias("n_bytes"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "n_bytes",
+            F.floor(F.col("n_docs") * 10000 / total)
+            .cast("long")
+            .alias("share_bp"),
+            (F.col("n_docs") * 20 > total).alias("salt_candidate"),
+        )
+    )

@@ -195,6 +195,23 @@ FROM documents
 """,
 )
 
+_register(
+    "host_stats",
+    lambda spark, sf: TS.host_stats(spark, sf).drop("n_bytes"),
+    """
+WITH h AS (
+  SELECT 'host-' || CASE WHEN doc_id % 10 = 0 THEN 'hot'
+              ELSE CAST(doc_id % 20 AS VARCHAR) END || '.example.org' AS host
+  FROM documents
+),
+t AS (SELECT COUNT(*) AS total FROM documents)
+SELECT host, COUNT(*) AS n_docs,
+       CAST(floor(COUNT(*) * 10000 / t.total) AS BIGINT) AS share_bp,
+       COUNT(*) * 20 > t.total AS salt_candidate
+FROM h, t GROUP BY host, t.total
+""",
+)
+
 # --- dedup ---------------------------------------------------------------------
 
 _register(
@@ -340,6 +357,73 @@ SELECT doc AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc
 )
 
 # --- similarity search ----------------------------------------------------------
+
+# kmeans_centroids: the distributed Lloyd's fit is oracle-checked by
+# UNROLLING the identical rounds as a DuckDB CTE chain — possible because
+# every round is engine-portable (exact int dots, IEEE double sims with
+# cidx tie-break, integer round-half-away centroid updates keeping the
+# centroids int64).
+
+
+def _kmeans_oracle(iters: int) -> str:
+    sim = (
+        "CAST(list_dot_product(list_transform(v.qv, x -> CAST(x AS DOUBLE)),"
+        " list_transform(c.cv, x -> CAST(x AS DOUBLE))) AS DOUBLE)"
+        " / sqrt(CAST(v.norm2 AS DOUBLE) * CAST(c.cn AS DOUBLE))"
+    )
+    parts = [
+        f"""cent0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS cidx,
+         qv AS cv, norm2 AS cn
+  FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {S.IVF_CELLS}
+)"""
+    ]
+    for r in range(iters + 1):  # one extra assignment under the final fit
+        parts.append(
+            f"""asg{r} AS (
+  SELECT vec_id, cidx FROM (
+    SELECT v.vec_id, c.cidx,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {sim} DESC, c.cidx ASC) AS rnk
+    FROM n v CROSS JOIN cent{r} c) WHERE rnk = 1
+)"""
+        )
+        if r == iters:
+            break
+        parts.append(
+            f"""sums{r} AS (
+  SELECT cidx, d, SUM(x) AS s, COUNT(*) AS c FROM (
+    SELECT a.cidx, generate_subscripts(v.qv, 1) AS d, unnest(v.qv) AS x
+    FROM asg{r} a JOIN n v USING (vec_id)) GROUP BY cidx, d
+),
+cent{r + 1} AS (
+  SELECT p.cidx, COALESCE(nc.cv, p.cv) AS cv,
+         CAST(list_sum(list_transform(COALESCE(nc.cv, p.cv), x -> x * x))
+              AS BIGINT) AS cn
+  FROM cent{r} p LEFT JOIN (
+    SELECT cidx, list(CASE WHEN s >= 0 THEN (2 * s + c) // (2 * c)
+                           ELSE -(((-2 * s) + c) // (2 * c)) END
+                      ORDER BY d) AS cv
+    FROM sums{r} GROUP BY cidx) nc USING (cidx)
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {_Q_CTE},
+{ctes}
+SELECT CAST(c.cidx AS INT) AS cell,
+       array_to_string(c.cv, ',') AS centroid_csv,
+       c.cn AS norm2,
+       COALESCE(m.n, 0) AS n_members
+FROM cent{iters} c LEFT JOIN (
+  SELECT cidx, COUNT(*) AS n FROM asg{iters} GROUP BY cidx) m USING (cidx)
+"""
+
+
+_register("kmeans_centroids", S.kmeans_centroids, _kmeans_oracle(S.KMEANS_ITERS))
+
+
 
 _register(
     "ann_brute_force",

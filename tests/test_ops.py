@@ -247,3 +247,25 @@ def test_dedup_clusters_topologies(spark):
     }
     assert got == {0: 0, 9: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    6: 6, 7: 6, 8: 6}
+
+
+def test_kmeans_centroids_fit(spark):
+    """Integer-exact Lloyd's fit: counts cover the corpus, centroids move
+    off the md5-sample init, the fit is deterministic, and the fitted
+    centroids drive the same IVF search path."""
+    from dpo_ocr_spark.ops import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    cents = S.kmeans_centroids(spark, sf).collect()
+    assert len(cents) == S.IVF_CELLS
+    emb = S._emb(spark, sf)
+    assert sum(r.n_members for r in cents) == emb.count()  # all assigned
+    M0, _ = S._ivf_centroids(emb)
+    init_csv = {",".join(str(int(x)) for x in M0[i]) for i in range(len(M0))}
+    moved = [r for r in cents if r.centroid_csv not in init_csv]
+    assert moved, "no centroid moved after Lloyd's iterations"
+    again = S.kmeans_centroids(spark, sf).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, cents))
+    # fitted centroids plug into the identical search path
+    topk = S.ivf_topk(spark, sf, fit="kmeans").collect()
+    assert topk and all(r["rank"] <= S.TOP_K for r in topk)
