@@ -432,6 +432,35 @@ def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("streaming_extract", _q_streaming_extract)
 
 
+def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator through the driver gate:
+    first-seen-url dedup (applyInPandasWithState) feeding the same
+    extraction stage, durable parquet sink (rows-only; exactly-once
+    across restarts pinned in tests/test_streaming.py).  The source is
+    written with duplicate urls so the state actually drops rows."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .corpus import build_web_pages
+    from .streaming.stream import stream_dedup_extract
+
+    tmp = tempfile.mkdtemp(prefix="stream_dd_")
+    pages = build_web_pages(spark, sf_dir, partitions=8)
+    dup = pages.union(pages)  # every url twice → state must halve it
+    dup.write.mode("overwrite").parquet(tmp + "/src")
+    stream_dedup_extract(spark, tmp + "/src", tmp + "/ckpt", tmp + "/out")
+    return (
+        spark.read.parquet(tmp + "/out")
+        .select("url", "text")
+        .groupBy("url")
+        .agg(F.count("*").alias("n"), F.max("text").alias("text"))
+    )
+
+
+_register("streaming_dedup", _q_streaming_dedup)
+
+
 # --- S12 annotated-image sink → draw plan (run_gvision_ocr.py:185-260) -------
 
 
@@ -598,3 +627,52 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 
 
 _register_misc()
+
+
+# --- paragraph-level dedup (CCNet-style boilerplate detection) ----------------
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph dedup: explode extracted text into
+    paragraphs, ONE groupBy on md5(paragraph) — the web-pipeline op that
+    strips boilerplate paragraphs repeated across pages.  At 10¹² docs
+    this is a single shuffle on the hash key, same shape as exact_dedup;
+    consumers anti-join paragraphs with n_docs above a boilerplate
+    threshold back against the corpus."""
+    from pyspark.sql import functions as F
+
+    from .pipeline import run_extraction
+
+    ext = run_extraction(spark, sf_dir)
+    paras = ext.select(
+        "url", F.posexplode(F.split("text", "\n")).alias("pidx", "para")
+    ).filter(F.length("para") > 0)
+    return (
+        paras.groupBy(F.md5("para").alias("para_md5"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("url").alias("n_docs"),
+            F.min("url").alias("first_url"),
+        )
+    )
+
+
+def _register_paragraph() -> None:
+    from .queries import _ETEXT_CTE
+
+    _register(
+        "paragraph_dedup",
+        _q_paragraph_dedup,
+        f"""
+WITH {_ETEXT_CTE},
+p AS (
+  SELECT url, unnest(str_split(etext, chr(10))) AS para FROM paras
+)
+SELECT md5(para) AS para_md5, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT url) AS n_docs, MIN(url) AS first_url
+FROM p WHERE length(para) > 0 GROUP BY 1
+""",
+    )
+
+
+_register_paragraph()
