@@ -201,9 +201,19 @@ def auto_match(
                 ]
                 for field, value, stage in cascade_rows(text, ordered, gaz):
                     rows.append((url, size, field, value, stage, int(block)))
-            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
-                {c: pd.Series(dtype=object) for c in cols}
-            )
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+            else:
+                # typed empty frame: an all-NA object 'block' column trips
+                # pandas' concat-dtype FutureWarning in the Arrow serializer
+                yield pd.DataFrame(
+                    {
+                        c: pd.Series(
+                            dtype="int64" if c == "block" else object
+                        )
+                        for c in cols
+                    }
+                )
 
     out = work.mapInPandas(run, schema=AUTO_SCHEMA)
     # ON CONFLICT (filename, reference_size) DO UPDATE SET field → the
