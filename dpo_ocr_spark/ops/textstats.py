@@ -148,3 +148,52 @@ def host_stats(spark, sf_dir: str):
             (F.col("n_docs") * 20 > total).alias("salt_candidate"),
         )
     )
+
+
+def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/drop verdict with the FIRST failing rule — the
+    decision record a training-data curation pipeline actually emits,
+    composing the oracle-checked signals:
+
+      1. 'dup'          — not the smallest doc_id of its exact-text group
+      2. 'short'        — extracted text under 100 chars
+      3. 'low_stopword' — stopword ratio < 1% (gibberish heuristic)
+      4. 'lang_mismatch'— predicted language ≠ labeled language
+      5. 'keep'
+
+    Scale shape: dup membership is ONE broadcast-size join against the
+    exact-dedup keeper set (the dup-group table is distinct-text-sized,
+    not corpus-sized only when duplication is high; at low dup rates
+    Spark picks a shuffled hash join — both fine), everything else is a
+    narrow projection over one scan.  Rule order is the verdict contract:
+    a short duplicate reports 'dup', not 'short'."""
+    from .dedup import exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    keepers = exact_dedup(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(True).alias("is_keeper")
+    )
+    q = quality_scores(spark, sf_dir).select(
+        "doc_id", "stopword_ratio_x1000"
+    )
+    lid = language_id(spark, sf_dir).select(
+        "doc_id", "labeled_lang", "pred_lang"
+    )
+    j = (
+        docs.select("doc_id", F.length("text").alias("n_chars"))
+        .join(keepers, "doc_id", "left")
+        .join(q, "doc_id")
+        .join(lid, "doc_id")
+    )
+    verdict = (
+        F.when(F.col("is_keeper").isNull(), "dup")
+        .when(F.col("n_chars") < 100, "short")
+        .when(F.col("stopword_ratio_x1000") < 10, "low_stopword")
+        .when(F.col("pred_lang") != F.col("labeled_lang"), "lang_mismatch")
+        .otherwise("keep")
+    )
+    return j.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        (verdict == "keep").alias("keep"),
+    )

@@ -212,6 +212,54 @@ FROM h, t GROUP BY host, t.total
 """,
 )
 
+_PRED_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN greatest({', '.join('s_' + x for x in _LANGS_DESC)}) > 0 "
+        f"AND s_{l} = greatest("
+        + ", ".join("s_" + x for x in _LANGS_DESC)
+        + f") THEN '{l}'"
+        for l in _LANGS_DESC
+    )
+    + " ELSE 'und' END"
+)
+
+_VERDICT_CASE = """CASE WHEN NOT is_keeper THEN 'dup'
+            WHEN n_chars < 100 THEN 'short'
+            WHEN swr < 10 THEN 'low_stopword'
+            WHEN pred_lang != labeled_lang THEN 'lang_mismatch'
+            ELSE 'keep' END"""
+
+_register(
+    "curation_verdict",
+    TS.curation_verdict,
+    f"""
+WITH k AS (
+  SELECT doc_id,
+         doc_id = MIN(doc_id) OVER (
+           PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+         ) AS is_keeper,
+         length(text) AS n_chars,
+         CAST(floor(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                    w -> list_contains({_STOP_EN}, w))) * 1000
+                    / len(regexp_split_to_array(text, '\\s+')))
+              AS BIGINT) AS swr,
+         lang AS labeled_lang,
+         {_lang_scores_sql()}
+  FROM documents
+),
+p AS (
+  SELECT doc_id, is_keeper, n_chars, swr, labeled_lang,
+         {_PRED_LANG_CASE} AS pred_lang
+  FROM k
+)
+SELECT doc_id,
+       {_VERDICT_CASE} AS verdict,
+       ({_VERDICT_CASE}) = 'keep' AS keep
+FROM p
+""",
+)
+
 # --- dedup ---------------------------------------------------------------------
 
 _register(
