@@ -269,3 +269,33 @@ def test_kmeans_centroids_fit(spark):
     # fitted centroids plug into the identical search path
     topk = S.ivf_topk(spark, sf, fit="kmeans").collect()
     assert topk and all(r["rank"] <= S.TOP_K for r in topk)
+
+
+def test_curation_verdict_rule_order(spark, tmp_path):
+    """First-failing-rule contract: dup beats short beats low_stopword
+    beats lang_mismatch; the exact-dedup keeper of a dup group is judged
+    by the LATER rules."""
+    from dpo_ocr_spark.ops.textstats import curation_verdict
+
+    good = ("the quick brown fox and the lazy dog were on a hill " * 3).strip()
+    nostop = "zxqwv " * 30  # long enough, zero English stopwords
+    rows = [
+        (1, good, "en"),            # keep
+        (2, good, "en"),            # dup of 1 (dup even though text is fine)
+        (3, "tiny", "en"),          # short
+        (4, nostop.strip(), "en"),  # low_stopword
+        (5, good + " extra words here", "de"),  # lang_mismatch (pred en)
+        (7, "tinydup", "en"),       # keeper of a SHORT dup group → short
+        (8, "tinydup", "en"),       # dup beats short
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r.verdict
+        for r in curation_verdict(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: "keep", 2: "dup", 3: "short", 4: "low_stopword",
+        5: "lang_mismatch", 7: "short", 8: "dup",
+    }
