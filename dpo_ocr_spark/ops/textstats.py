@@ -150,6 +150,32 @@ def host_stats(spark, sf_dir: str):
     )
 
 
+def _stopword_ratio_x1000() -> F.Column:
+    words = F.split(F.col("text"), r"\s+")
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(en, w)))
+    return F.floor(n_stop * 1000 / F.size(words)).cast("long")
+
+
+def _pred_lang() -> F.Column:
+    """Stopword-overlap argmax (same contract as language_id)."""
+    words = F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+    langs = sorted(STOPWORDS)
+    scores = {
+        lang: F.size(
+            F.array_intersect(
+                words, F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+            )
+        )
+        for lang in langs
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return pred
+
+
 def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keep/drop verdict with the FIRST failing rule — the
     decision record a training-data curation pipeline actually emits,
@@ -161,39 +187,27 @@ def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
       4. 'lang_mismatch'— predicted language ≠ labeled language
       5. 'keep'
 
-    Scale shape: dup membership is ONE broadcast-size join against the
-    exact-dedup keeper set (the dup-group table is distinct-text-sized,
-    not corpus-sized only when duplication is high; at low dup rates
-    Spark picks a shuffled hash join — both fine), everything else is a
-    narrow projection over one scan.  Rule order is the verdict contract:
-    a short duplicate reports 'dup', not 'short'."""
-    from .dedup import exact_dedup
+    Scale shape: ONE scan of documents and ONE shuffle (the window over
+    the exact-text fingerprint); every other signal is a narrow codegen
+    expression in the same projection.  Rule order is the verdict
+    contract: a short duplicate reports 'dup', not 'short'."""
+    from pyspark.sql import Window as W
+
+    from .dedup import _norm_text
 
     docs = _docs(spark, sf_dir)
-    keepers = exact_dedup(spark, sf_dir).select(
-        F.col("keep_doc_id").alias("doc_id"), F.lit(True).alias("is_keeper")
-    )
-    q = quality_scores(spark, sf_dir).select(
-        "doc_id", "stopword_ratio_x1000"
-    )
-    lid = language_id(spark, sf_dir).select(
-        "doc_id", "labeled_lang", "pred_lang"
-    )
-    j = (
-        docs.select("doc_id", F.length("text").alias("n_chars"))
-        .join(keepers, "doc_id", "left")
-        .join(q, "doc_id")
-        .join(lid, "doc_id")
+    is_keeper = F.col("doc_id") == F.min("doc_id").over(
+        W.partitionBy(F.md5(_norm_text()))
     )
     verdict = (
-        F.when(F.col("is_keeper").isNull(), "dup")
-        .when(F.col("n_chars") < 100, "short")
-        .when(F.col("stopword_ratio_x1000") < 10, "low_stopword")
-        .when(F.col("pred_lang") != F.col("labeled_lang"), "lang_mismatch")
+        F.when(~is_keeper, "dup")
+        .when(F.length("text") < 100, "short")
+        .when(_stopword_ratio_x1000() < 10, "low_stopword")
+        .when(_pred_lang() != F.col("lang"), "lang_mismatch")
         .otherwise("keep")
     )
-    return j.select(
+    return docs.select(
         "doc_id",
         verdict.alias("verdict"),
-        (verdict == "keep").alias("keep"),
+        (verdict == F.lit("keep")).alias("keep"),
     )
