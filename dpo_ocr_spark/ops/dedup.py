@@ -22,7 +22,7 @@ columns).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 SHINGLE_K = 3  # words per shingle
 MINHASH_K = 12  # signature length
@@ -532,10 +532,12 @@ def dedup_clusters(
 
     Algorithm: min-label propagation with POINTER JUMPING — each round
     (1) takes the min label over graph neighbors, (2) replaces each
-    label by its label's label (path halving).  Jumping makes chains
-    converge in O(log n) rounds instead of O(diameter) — the property
-    that matters at 10¹² docs where a boilerplate chain can be millions
-    long.  Each round is two shuffles on bounded keys; the loop is
+    label by its label's label (path halving, the classic PRAM
+    pointer-jumping idea used by the large-star/small-star MapReduce CC
+    family — Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14).  Jumping makes chains converge in O(log n) rounds
+    instead of O(diameter) — the property that matters at 10¹² docs
+    where a boilerplate chain can be millions long.  Each round is two shuffles on bounded keys; the loop is
     driver-side control flow over DataFrames (no data ever collects).
     Convergence is detected by a changed-label count; production jobs
     checkpoint the label frame every few rounds to truncate lineage
