@@ -472,6 +472,68 @@ FROM cent{iters} c LEFT JOIN (
 _register("kmeans_centroids", S.kmeans_centroids, _kmeans_oracle(S.KMEANS_ITERS))
 
 
+def _ivf_kmeans_oracle(iters: int) -> str:
+    """ann_ivf search over the kmeans-fitted centroids — the kmeans CTE
+    chain composed with the IVF search CTEs (cent := cent{iters})."""
+    km = _kmeans_oracle(iters)
+    ctes = km.split("WITH ", 1)[1].rsplit(f",\nasg{iters} AS", 1)[0]
+    return f"""
+WITH {ctes},
+sims AS (
+  SELECT v.vec_id, c.cidx,
+         CAST(list_dot_product(
+           list_transform(v.qv, x -> CAST(x AS DOUBLE)),
+           list_transform(c.cv, x -> CAST(x AS DOUBLE))) AS DOUBLE)
+         / sqrt(CAST(v.norm2 AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS sim
+  FROM n v CROSS JOIN cent{iters} c
+),
+rc AS (
+  SELECT vec_id, cidx,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cidx ASC) AS rnk
+  FROM sims
+),
+corpus AS (SELECT vec_id AS cand_id, cidx AS cell FROM rc WHERE rnk = 1),
+probes AS (
+  SELECT vec_id AS query_id, cidx AS cell
+  FROM rc WHERE rnk <= {S.IVF_NPROBE} AND vec_id < {S.N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.cand_id
+  FROM probes p JOIN corpus c ON c.cell = p.cell
+  WHERE c.cand_id != p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.cand_id,
+         CAST(list_dot_product(
+           list_transform(qr.qv, x -> CAST(x AS DOUBLE)),
+           list_transform(cv.qv, x -> CAST(x AS DOUBLE))) AS DOUBLE)
+         / sqrt(CAST(qr.norm2 AS DOUBLE) * CAST(cv.norm2 AS DOUBLE)) AS cos
+  FROM cand
+  JOIN n qr ON qr.vec_id = cand.query_id
+  JOIN n cv ON cv.vec_id = cand.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, cand_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, cand_id, CAST(rn AS INT) AS rank,
+       round(cos, 6) AS cos_r6
+FROM ranked WHERE rn <= {S.TOP_K}
+"""
+
+
+# the kmeans-fitted search end-to-end, hash-checked: kmeans rounds AND the
+# IVF probe/re-rank both re-derived in DuckDB
+_register(
+    "ann_ivf_kmeans",
+    lambda spark, sf: S.ivf_topk(spark, sf, fit="kmeans"),
+    _ivf_kmeans_oracle(S.KMEANS_ITERS),
+)
+
+
 
 _register(
     "ann_brute_force",
