@@ -260,6 +260,37 @@ FROM p
 """,
 )
 
+_RATE_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {r}"
+    for lang, r in sorted(TS.SAMPLE_RATES_X1000.items())
+) + f" ELSE {TS.SAMPLE_DEFAULT_X1000} END"
+
+_register(
+    "stratified_sample",
+    TS.stratified_sample,
+    f"""
+SELECT doc_id, lang,
+       {_MD5INT.format(expr="CAST(doc_id AS VARCHAR)")} % 1000
+         AS sample_bucket
+FROM documents
+WHERE {_MD5INT.format(expr="CAST(doc_id AS VARCHAR)")} % 1000 < {_RATE_CASE}
+""",
+)
+
+_register(
+    "shard_packing",
+    TS.shard_packing,
+    f"""
+SELECT doc_id, lang,
+       len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+       CAST(floor(COALESCE(SUM(len(regexp_split_to_array(text, '\\s+')))
+              OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {TS.SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_id
+FROM documents
+""",
+)
+
 # --- dedup ---------------------------------------------------------------------
 
 _register(

@@ -299,3 +299,23 @@ def test_curation_verdict_rule_order(spark, tmp_path):
         1: "keep", 2: "dup", 3: "short", 4: "low_stopword",
         5: "lang_mismatch", 7: "short", 8: "dup",
     }
+
+
+def test_shard_packing_budget_property(spark):
+    """Every shard except the last (per language) starts before the
+    budget boundary and is contiguous in doc_id order; shard token sums
+    overshoot the budget at most by one document."""
+    from dpo_ocr_spark.ops.textstats import SHARD_TOKEN_BUDGET, shard_packing
+
+    rows = shard_packing(spark, "/root/testdata/sf0.001").collect()
+    by_lang: dict = {}
+    for r in sorted(rows, key=lambda r: (r.lang, r.doc_id)):
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, docs in by_lang.items():
+        # shard ids are non-decreasing in doc_id order and start at 0
+        sids = [d.shard_id for d in docs]
+        assert sids[0] == 0 and all(a <= b for a, b in zip(sids, sids[1:]))
+        run = 0
+        for d in docs:
+            assert d.shard_id == run // SHARD_TOKEN_BUDGET
+            run += d.n_tokens
