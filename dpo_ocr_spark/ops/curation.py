@@ -1,0 +1,233 @@
+"""Corpus-curation operators: decontamination, repetition signals,
+deterministic training order.
+
+Three more first-class LLM-training-data ops, each in its 100 TB shape:
+
+- **decontaminate**: flag corpus documents sharing any word-N-gram with a
+  held-out evaluation set (the GPT-3/Llama n-gram-overlap decontamination
+  step; N=4 here, 8-13 in production — a constant).  The eval side is
+  tiny by construction (benchmarks are ~10⁴ docs, here doc_id % 97 = 0),
+  so its distinct n-grams BROADCAST and the probe is a map-side hash
+  join: the only shuffle is the per-doc hit count groupBy.  Never joins
+  corpus×corpus.
+- **repetition_stats**: Gopher-style within-document repetition signals
+  (duplicate-token fraction, most-frequent-2-gram share).  Computed
+  entirely IN-ROW with higher-order array expressions — zero shuffles,
+  embarrassingly parallel, whole-stage-codegen.  The in-row scan is
+  O(words²) per document, bounded by the upstream extract stage's
+  document-length cap; for pathological multi-MB docs the explode +
+  groupBy form is the fallback (same result, one shuffle).
+- **training_order**: deterministic shuffle of the corpus into training
+  shards — shard by md5-derived hash, position by (hash, doc_id) within
+  shard.  Reproducible across runs, engines and cluster sizes (no
+  Math.random, no zipWithIndex); one shuffle, and the per-shard sort is
+  bounded by shard size (shard count scales with corpus).  This is the
+  "global shuffle" every pretraining pipeline runs before sequence
+  packing (see textstats.shard_packing for the token-budget step).
+
+All outputs integer/bool/string-exact; DuckDB oracle twins re-derive the
+same values from the md5 / list-function contracts shared with ops.dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+N_DECON = 4  # words per decontamination n-gram
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 -> held-out eval document
+N_SHARDS = 8  # training shards (scales with corpus in production)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _words() -> Column:
+    """Whitespace-collapsed lowercase word array (ops.dedup contract)."""
+    return F.split(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " "
+    )
+
+
+def _ngrams(words: Column, n: int) -> Column:
+    """Ordered word-n-grams; texts shorter than n words yield one clipped
+    gram (identical slice semantics to ops.dedup._shingles)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per corpus doc: distinct word-4-grams shared with the eval split.
+
+    Returns (doc_id, lang, n_hits, contaminated) for every NON-eval doc.
+    """
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams(_words(), N_DECON))).alias("gram"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .select("doc_id", "lang")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+_WS_SQL = (
+    "regexp_split_to_array(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
+)
+
+DECONTAMINATE_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, {_WS_SQL} AS w FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(w) - {N_DECON - 1}, 1)),
+             i -> array_to_string(w[i:i + {N_DECON - 1}], ' '))) AS gram
+    FROM ws) t
+), ev AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0
+), hits AS (
+  SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+  FROM g JOIN ev USING (gram)
+  WHERE g.doc_id % {EVAL_MOD} <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, d.lang,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {EVAL_MOD} <> 0
+"""
+
+# repetition thresholds (x1000 integer ratios); the top-2-gram criterion
+# only applies to docs of >= MIN_WORDS_TOP2 words (on a 4-word doc any
+# 2-gram covers 50% — Gopher likewise length-gates its repetition rules)
+DUP_FRAC_MAX = 600
+TOP2_SHARE_MAX = 180
+MIN_WORDS_TOP2 = 20
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals, zero-shuffle in-row arrays.
+
+    (doc_id, n_words, dup_word_frac_x1000, top2_count, top2_share_x1000,
+    repetitive) — duplicate-token fraction and most-frequent-2-gram word
+    share, floor(x*1000) integer ratios.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", _words().alias("w"))
+    dup_n = F.size(
+        F.filter(
+            F.col("w"),
+            lambda x: F.size(F.filter(F.col("w"), lambda y: y == x)) > 1,
+        )
+    )
+    grams = _ngrams(F.col("w"), 2)
+    top2 = F.array_max(
+        F.transform(
+            grams,
+            lambda g: F.size(F.filter(grams, lambda y: y == g)),
+        )
+    )
+    out = docs.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.expr(
+            "size(filter(w, x -> size(filter(w, y -> y = x)) > 1))"
+            " * 1000 div size(w)"
+        ).alias("dup_word_frac_x1000"),
+        top2.alias("top2_count"),
+        (top2 * 2 * 1000).alias("_t2w"),
+    ).withColumn(
+        "top2_share_x1000", F.expr("_t2w div n_words")
+    )
+    _ = dup_n  # column builder kept for parity with the SQL form above
+    return out.select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac_x1000",
+        "top2_count",
+        "top2_share_x1000",
+        (
+            (F.col("dup_word_frac_x1000") > DUP_FRAC_MAX)
+            | (
+                (F.col("n_words") >= MIN_WORDS_TOP2)
+                & (F.col("top2_share_x1000") > TOP2_SHARE_MAX)
+            )
+        ).alias("repetitive"),
+    )
+
+
+REPETITION_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, {_WS_SQL} AS w FROM documents
+), g AS (
+  SELECT doc_id, w, len(w) AS n_words,
+         list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                        i -> array_to_string(w[i:i + 1], ' ')) AS grams
+  FROM ws
+), m AS (
+  SELECT doc_id, n_words,
+         len(list_filter(w, x -> len(list_filter(w, y -> y = x)) > 1))
+           * 1000 // n_words AS dup_word_frac_x1000,
+         list_max(list_transform(grams,
+           x -> len(list_filter(grams, y -> y = x)))) AS top2_count
+  FROM g
+)
+SELECT doc_id, n_words, dup_word_frac_x1000, top2_count,
+       top2_count * 2 * 1000 // n_words AS top2_share_x1000,
+       (dup_word_frac_x1000 > {DUP_FRAC_MAX}
+        OR (n_words >= {MIN_WORDS_TOP2}
+            AND top2_count * 2 * 1000 // n_words > {TOP2_SHARE_MAX}))
+         AS repetitive
+FROM m
+"""
+
+
+def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: (doc_id, shard, pos) — md5-hash shard
+    assignment + rank within shard.  Engine/run/cluster-size independent."""
+    docs = _docs(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sharded = docs.select(
+        "doc_id", h.alias("h"), F.pmod(h, F.lit(N_SHARDS)).alias("shard")
+    )
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return sharded.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+TRAINING_ORDER_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, h % {N_SHARDS} AS shard,
+       row_number() OVER (PARTITION BY h % {N_SHARDS} ORDER BY h, doc_id)
+         AS pos
+FROM h
+"""

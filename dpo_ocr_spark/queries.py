@@ -479,3 +479,4 @@ def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # side-effect registration of the training-data ops queries
 from . import queries_ops  # noqa: E402,F401
 from . import queries_eval  # noqa: E402,F401
+from . import queries_curation  # noqa: E402,F401

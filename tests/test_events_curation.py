@@ -1,0 +1,156 @@
+"""ops.events (as-of join, sessionize) + ops.curation semantics pins."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+SD = "/root/testdata/sf0.001"
+
+_EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(s: float) -> dt.datetime:
+    return _EPOCH + dt.timedelta(seconds=s)
+
+
+def _write_events_orders(spark, tmp_path, events, orders):
+    spark.createDataFrame(
+        [(i, t, u, "click", 1.0, "{}") for i, (t, u) in enumerate(events)],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    spark.createDataFrame(
+        [
+            (k, u, "O", p, t, "1-URGENT")
+            for k, (u, t, p) in enumerate(orders)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+
+def test_asof_tie_and_before_first_order(spark, tmp_path):
+    """at-or-before semantics: an order AT the event timestamp matches;
+    equal-time orders break to the larger o_orderkey; events before the
+    user's first order get NULLs."""
+    from dpo_ocr_spark.ops.events import asof_join
+
+    events = [
+        (_ts(5), 1),  # event 0: before any order of user 1 -> NULL
+        (_ts(10), 1),  # event 1: exactly at order time -> matched
+        (_ts(30), 1),  # event 2: after both same-ts orders -> max orderkey
+        (_ts(30), 2),  # event 3: other user, no orders -> NULL
+    ]
+    orders = [
+        (1, _ts(10), 11.0),  # orderkey 0
+        (1, _ts(20), 22.0),  # orderkey 1 (same ts as orderkey 2)
+        (1, _ts(20), 33.0),  # orderkey 2 wins ties (larger key)
+    ]
+    _write_events_orders(spark, tmp_path, events, orders)
+    got = {
+        r.event_id: (r.o_orderkey, r.o_total_e4)
+        for r in asof_join(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (None, None)
+    assert got[1] == (0, 110000)
+    assert got[2] == (2, 330000)
+    assert got[3] == (None, None)
+
+
+def test_sessionize_gap_boundary(spark, tmp_path):
+    """Gap strictly greater than GAP_S starts a new session; a gap of
+    exactly GAP_S does not."""
+    from dpo_ocr_spark.ops.events import GAP_S, sessionize
+
+    events = [
+        (_ts(0), 1),
+        (_ts(GAP_S), 1),  # exactly the threshold -> same session
+        (_ts(2 * GAP_S + 1), 1),  # 1s over -> new session
+        (_ts(0), 2),  # other user: independent sessions
+    ]
+    _write_events_orders(spark, tmp_path, events, [])
+    rows = sorted(
+        sessionize(spark, str(tmp_path)).collect(),
+        key=lambda r: (r.user_id, r.session_id),
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert [r.n_events for r in by_user[1]] == [2, 1]
+    assert by_user[1][0].duration_s == GAP_S
+    assert [r.n_events for r in by_user[2]] == [1]
+
+
+def test_sessionize_single_exchange(spark):
+    """The (user_id, session_id) aggregate must reuse the window's hash
+    exchange on user_id — one shuffle total."""
+    from dpo_ocr_spark.ops.events import sessionize
+
+    plan = (
+        sessionize(spark, SD)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_decontaminate_crafted(spark, tmp_path):
+    """A corpus doc sharing one 4-gram with the eval split (doc_id 0) is
+    flagged; disjoint docs are not; eval docs are excluded from output."""
+    from dpo_ocr_spark.ops.curation import decontaminate
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon", "en"),  # eval (0 % 97 == 0)
+        (1, "noise alpha beta gamma delta tail", "en"),  # shares 1 gram
+        (2, "zeta eta theta iota kappa lambda", "en"),  # disjoint
+    ]
+    spark.createDataFrame(
+        [(i, t, l, "s", len(t)) for i, t, l in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in decontaminate(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+
+
+def test_repetition_stats_crafted(spark, tmp_path):
+    """Integer ratios: all-same-word doc maxes out; all-distinct doc
+    scores zero duplicate fraction."""
+    from dpo_ocr_spark.ops.curation import repetition_stats
+
+    docs = [(0, "spam spam spam spam"), (1, "one two three four")]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in repetition_stats(spark, str(tmp_path)).collect()}
+    assert got[0].dup_word_frac_x1000 == 1000
+    assert got[0].top2_count == 3  # "spam spam" x3
+    assert got[0].repetitive
+    assert got[1].dup_word_frac_x1000 == 0
+    assert got[1].top2_count == 1
+    assert not got[1].repetitive
+
+
+def test_training_order_is_permutation_and_deterministic(spark):
+    from dpo_ocr_spark.ops.curation import N_SHARDS, training_order
+
+    a = training_order(spark, SD).collect()
+    b = training_order(spark, SD).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    by_shard = {}
+    for r in a:
+        assert 0 <= r.shard < N_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    n_docs = spark.read.parquet(f"{SD}/documents.parquet").count()
+    assert sum(len(v) for v in by_shard.values()) == n_docs
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
