@@ -231,3 +231,74 @@ SELECT doc_id, h % {N_SHARDS} AS shard,
          AS pos
 FROM h
 """
+
+
+# --- TF-IDF top terms ---------------------------------------------------------
+
+TOP_TERMS = 3  # terms kept per document
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N characteristic terms per document by integer-exact TF-IDF.
+
+    idf_x1000 = (1000 * n_docs) div df (integer floor — no log, so both
+    engines hash identically); score = tf * idf_x1000; top TOP_TERMS per
+    doc by (score desc, term asc).
+
+    Scale shape: tf is one groupBy on (doc_id, term); document frequency
+    is one groupBy on term (vocabulary-bounded) whose result BROADCASTS;
+    the per-doc top-N window partitions on doc_id (unbounded
+    parallelism).  n_docs is a driver-side scalar (one count job).
+    """
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(_words()).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = (
+        terms.distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "term",
+            F.expr(f"(1000 * {n_docs}) div df").alias("idf_x1000"),
+        )
+    )
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "idf_x1000",
+        (F.col("tf") * F.col("idf_x1000")).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= TOP_TERMS)
+    )
+
+
+TFIDF_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, {_WS_SQL} AS w FROM documents
+), terms AS (
+  SELECT doc_id, unnest(w) AS term FROM ws
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), dfq AS (
+  SELECT term,
+         (1000 * (SELECT COUNT(*) FROM documents)) // COUNT(*) AS idf_x1000
+  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.idf_x1000,
+         tf.tf * dfq.idf_x1000 AS score
+  FROM tf JOIN dfq USING (term)
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, idf_x1000, score, rank
+FROM rk WHERE rank <= {TOP_TERMS}
+"""

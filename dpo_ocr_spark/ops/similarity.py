@@ -401,3 +401,135 @@ def kmeans_centroids(
     return spark.createDataFrame(
         rows, "cell int, centroid_csv string, norm2 long, n_members long"
     )
+
+
+# --- SemDeDup-style semantic pruning ----------------------------------------
+
+PRUNE_BOTTOM_X1000 = 200  # prune the least-prototypical 20% per label
+
+
+def semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning: score each vector by cosine to its LABEL
+    centroid, prune the least-central 20% per label (the SemDeDup /
+    SSL-prototypes data-pruning signal).
+
+    Fully distributed: the per-(label, dim) integer-mean aggregation is one
+    shuffle over n·dims rows (linear), centroids broadcast back, and the
+    per-label rank is one window.  Centroid means use the _kmeans_fit
+    integer round-half-away contract, similarities the exact-int-dot /
+    IEEE-double contract — so the DuckDB twin matches bit-for-bit.
+
+    Scale note: the rank window sorts each label's rows on one reducer —
+    fine while labels are balanced; for billion-row labels replace the
+    rank with a distributed similarity-threshold cut (quantile of cos_r6
+    per label), same output contract.
+    """
+    from ..scale import ensure_parallelism
+
+    df = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _QUANT).cast("long"),
+    )
+    norm2 = F.aggregate(
+        F.zip_with(q, q, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    e = df.select(
+        "vec_id", "label", q.alias("q"), norm2.alias("norm2")
+    )
+
+    # per-(label, dim) integer mean, rounded half-away-from-zero
+    mean_v = F.when(
+        F.col("s") >= 0, F.expr("(2 * s + c) div (2 * c)")
+    ).otherwise(-F.expr("((-2 * s) + c) div (2 * c)"))
+    cent = (
+        e.select("label", F.posexplode("q").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
+        .select("label", "d", mean_v.alias("v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("d", "v"))),
+                lambda sv: sv.getField("v"),
+            ).alias("cv")
+        )
+        .select(
+            "label",
+            "cv",
+            F.aggregate(
+                F.zip_with("cv", "cv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("cn"),
+        )
+    )
+    sim = _dot("q", "cv").cast("double") / F.sqrt(
+        F.col("norm2").cast("double") * F.col("cn").cast("double")
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", F.round(sim, 6).alias("cos_r6")
+    )
+    w = W.partitionBy("label").orderBy(F.desc("cos_r6"), "vec_id")
+    return scored.select(
+        "*",
+        F.row_number().over(w).alias("rank"),
+        F.count("*").over(W.partitionBy("label")).alias("_n"),
+    ).select(
+        "vec_id",
+        "label",
+        "cos_r6",
+        "rank",
+        F.expr(
+            f"rank > (_n * (1000 - {PRUNE_BOTTOM_X1000})) div 1000"
+        ).alias("pruned"),
+    )
+
+
+SEMANTIC_PRUNE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS norm2
+  FROM q
+), sums AS (
+  SELECT label, d, SUM(x) AS s, COUNT(*) AS c FROM (
+    SELECT label, generate_subscripts(qv, 1) AS d, unnest(qv) AS x FROM n)
+  GROUP BY label, d
+), cent AS (
+  SELECT label,
+         list(CASE WHEN s >= 0 THEN (2 * s + c) // (2 * c)
+                   ELSE -(((-2 * s) + c) // (2 * c)) END ORDER BY d) AS cv
+  FROM sums GROUP BY label
+), centn AS (
+  SELECT label, cv,
+         CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cn
+  FROM cent
+), sims AS (
+  SELECT v.vec_id, v.label,
+         round(CAST(list_dot_product(
+                 list_transform(v.qv, x -> CAST(x AS DOUBLE)),
+                 list_transform(c.cv, x -> CAST(x AS DOUBLE)))
+               AS DOUBLE)
+               / sqrt(CAST(v.norm2 AS DOUBLE) * CAST(c.cn AS DOUBLE)), 6)
+           AS cos_r6
+  FROM n v JOIN centn c USING (label)
+), rk AS (
+  SELECT vec_id, label, cos_r6,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY cos_r6 DESC, vec_id) AS rank,
+         COUNT(*) OVER (PARTITION BY label) AS nl
+  FROM sims
+)
+SELECT vec_id, label, cos_r6, rank,
+       rank > (nl * (1000 - {PRUNE_BOTTOM_X1000})) // 1000 AS pruned
+FROM rk
+"""

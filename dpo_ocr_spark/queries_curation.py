@@ -24,3 +24,8 @@ _register("sessionize", EV.sessionize, EV.SESSIONIZE_ORACLE)
 _register("decontaminate", C.decontaminate, C.DECONTAMINATE_ORACLE)
 _register("repetition_stats", C.repetition_stats, C.REPETITION_ORACLE)
 _register("training_order", C.training_order, C.TRAINING_ORDER_ORACLE)
+
+from .ops.similarity import SEMANTIC_PRUNE_ORACLE, semantic_prune  # noqa: E402
+
+_register("semantic_prune", semantic_prune, SEMANTIC_PRUNE_ORACLE)
+_register("tfidf_top_terms", C.tfidf_top_terms, C.TFIDF_ORACLE)

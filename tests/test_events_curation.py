@@ -154,3 +154,50 @@ def test_training_order_is_permutation_and_deterministic(spark):
     assert sum(len(v) for v in by_shard.values()) == n_docs
     for poss in by_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_semantic_prune_fraction_and_order(spark):
+    from dpo_ocr_spark.ops.similarity import PRUNE_BOTTOM_X1000, semantic_prune
+
+    rows = semantic_prune(spark, SD).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    for label, rs in by_label.items():
+        n = len(rs)
+        keep_n = (n * (1000 - PRUNE_BOTTOM_X1000)) // 1000
+        assert sum(r.pruned for r in rs) == n - keep_n
+        rs.sort(key=lambda r: r.rank)
+        # ranks are a permutation and cosine is non-increasing along them
+        assert [r.rank for r in rs] == list(range(1, n + 1))
+        cos = [r.cos_r6 for r in rs]
+        assert cos == sorted(cos, reverse=True)
+        # pruned set is exactly the rank tail
+        assert all(r.pruned == (r.rank > keep_n) for r in rs)
+
+
+def test_tfidf_rare_term_outranks_ubiquitous(spark, tmp_path):
+    """A term unique to one doc must outrank a term present in every doc
+    even when the common term has higher tf."""
+    from dpo_ocr_spark.ops.curation import tfidf_top_terms
+
+    docs = [
+        (0, "common common common rare", "en"),
+        (1, "common common filler words", "en"),
+        (2, "common other stuff here", "en"),
+    ]
+    spark.createDataFrame(
+        [(i, t, l, "s", len(t)) for i, t, l in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = tfidf_top_terms(spark, str(tmp_path)).collect()
+    doc0 = sorted(
+        (r for r in out if r.doc_id == 0), key=lambda r: r.rank
+    )
+    # rare: tf=1, idf=3000 -> 3000; common: tf=3, idf=1000 -> 3000 — tie
+    # breaks alphabetically ('common' < 'rare'); verify scores + order
+    assert [(r.term, r.score) for r in doc0[:2]] == [
+        ("common", 3000),
+        ("rare", 3000),
+    ]
+    assert all(r.rank <= 3 for r in out)
