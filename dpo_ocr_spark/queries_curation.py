@@ -29,3 +29,41 @@ from .ops.similarity import SEMANTIC_PRUNE_ORACLE, semantic_prune  # noqa: E402
 
 _register("semantic_prune", semantic_prune, SEMANTIC_PRUNE_ORACLE)
 _register("tfidf_top_terms", C.tfidf_top_terms, C.TFIDF_ORACLE)
+
+
+def _q_streaming_window_counts(spark, sf_dir: str):
+    """Watermarked 1h-window counts drained through a real stream (append
+    mode: only watermark-finalized windows appear — the oracle re-derives
+    the cutoff as window_end <= max(ts) - 1h)."""
+    import tempfile
+
+    from .streaming.stream import stream_window_counts
+
+    tmp = tempfile.mkdtemp(prefix="stream_ev_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.mode(
+        "overwrite"
+    ).parquet(tmp + "/src")
+    stream_window_counts(spark, tmp + "/src", tmp + "/ckpt", "stream_win_q")
+    return spark.table("stream_win_q")
+
+
+STREAM_WINDOW_ORACLE = """
+WITH e AS (
+  SELECT epoch_us(ts) AS t_us, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+), mx AS (
+  SELECT max(t_us) AS m FROM e
+), w AS (
+  SELECT (t_us // 3600000000) * 3600000000 AS start_us, event_type,
+         COUNT(*) AS n_events, SUM(v) AS value_x100_sum
+  FROM e GROUP BY 1, 2
+)
+SELECT start_us, event_type, n_events, value_x100_sum
+FROM w, mx
+WHERE start_us + 3600000000 <= m - 3600000000
+"""
+
+_register(
+    "streaming_window_counts", _q_streaming_window_counts, STREAM_WINDOW_ORACLE
+)

@@ -127,3 +127,67 @@ def late_page_counts(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .agg(F.count("*").alias("n_pages"))
         .select("w.start", "w.end", "lang", "n_pages")
     )
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def stream_window_counts(
+    spark,
+    src_dir: str,
+    checkpoint_dir: str,
+    table: str,
+    watermark: str = "1 hour",
+):
+    """Watermarked tumbling-window aggregation through a REAL stream:
+    readStream → withWatermark → 1h window groupBy → append-mode memory
+    sink, availableNow drain.
+
+    Append mode emits a window only once the watermark (max event time −
+    1h) passes its end — the late-data-finalization semantics; the final
+    no-data micro-batch flushes state before termination.  Outputs are
+    integer-exact (epoch-us window start, floor(value·100) sums) so a SQL
+    oracle re-derives them including the watermark cutoff.
+    """
+    from pyspark.sql import functions as F
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    # watermarks require TIMESTAMP (an absolute instant); rebuild one from
+    # the NTZ wall time tz-independently: NTZ -> epoch-us integer (pure
+    # arithmetic) -> timestamp_micros (UTC instant).  Window boundaries and
+    # unix_micros(start) are then session-timezone-proof.
+    instant = F.timestamp_micros(
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    )
+    agg = (
+        events.withColumn("t", instant)
+        .withWatermark("t", watermark)
+        .groupBy(F.window("t", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "value_x100_sum"
+            ),
+        )
+        .select(
+            F.unix_micros("w.start").alias("start_us"),
+            "event_type",
+            "n_events",
+            "value_x100_sum",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -201,3 +201,29 @@ def test_tfidf_rare_term_outranks_ubiquitous(spark, tmp_path):
         ("rare", 3000),
     ]
     assert all(r.rank <= 3 for r in out)
+
+
+def test_streaming_window_withholds_unfinalized(spark, tmp_path):
+    """Append mode must emit only windows whose end <= max(ts) - 1h: with
+    events in hours 0, 1 and 5, the hour-5 window (and only windows past
+    the watermark) stay withheld."""
+    from dpo_ocr_spark.streaming.stream import stream_window_counts
+
+    events = [(_ts(0), 1), (_ts(3600), 1), (_ts(5 * 3600 + 10), 1)]
+    _write_events_orders(spark, tmp_path, events, [])
+    spark.read.parquet(str(tmp_path / "events.parquet")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "src"))
+    stream_window_counts(
+        spark, str(tmp_path / "src"), str(tmp_path / "ckpt"), "swc_test"
+    )
+    got = {
+        r.start_us // 3_600_000_000: r.n_events
+        for r in spark.table("swc_test").collect()
+    }
+    # watermark = (5h+10s) - 1h -> hour-0 and hour-1 windows finalized
+    # (end <= watermark); the hour-5 window is withheld
+    epoch_hour0 = int(
+        (_EPOCH - dt.datetime(1970, 1, 1)).total_seconds()
+    ) // 3600
+    assert got == {epoch_hour0: 1, epoch_hour0 + 1: 1}
