@@ -135,12 +135,6 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     share, floor(x*1000) integer ratios.
     """
     docs = _docs(spark, sf_dir).select("doc_id", _words().alias("w"))
-    dup_n = F.size(
-        F.filter(
-            F.col("w"),
-            lambda x: F.size(F.filter(F.col("w"), lambda y: y == x)) > 1,
-        )
-    )
     grams = _ngrams(F.col("w"), 2)
     top2 = F.array_max(
         F.transform(
@@ -160,7 +154,6 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "top2_share_x1000", F.expr("_t2w div n_words")
     )
-    _ = dup_n  # column builder kept for parity with the SQL form above
     return out.select(
         "doc_id",
         "n_words",
@@ -174,6 +167,58 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("top2_share_x1000") > TOP2_SHARE_MAX)
             )
         ).alias("repetitive"),
+    )
+
+
+def repetition_stats_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-based twin of repetition_stats for pathological document
+    lengths (the in-row form is O(words²) per doc): explode words / grams
+    → per-(doc, token) counts → per-doc aggregates.  Two linear shuffles,
+    per-task memory O(1).  Output identical to the in-row form
+    (equivalence pinned in tests/test_events_curation.py)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _words().alias("w")
+    )
+    base = docs.select("doc_id", F.size("w").alias("n_words"), "w")
+    dup = (
+        base.select("doc_id", "n_words", F.explode("w").alias("tok"))
+        .groupBy("doc_id", "n_words", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n_words")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_n"
+            )
+        )
+    )
+    top2 = (
+        base.select("doc_id", F.explode(_ngrams(F.col("w"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top2_count"))
+    )
+    return (
+        dup.join(top2, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.expr("dup_n * 1000 div n_words").alias("dup_word_frac_x1000"),
+            "top2_count",
+            F.expr("top2_count * 2 * 1000 div n_words").alias(
+                "top2_share_x1000"
+            ),
+        )
+        .select(
+            "*",
+            (
+                (F.col("dup_word_frac_x1000") > DUP_FRAC_MAX)
+                | (
+                    (F.col("n_words") >= MIN_WORDS_TOP2)
+                    & (F.col("top2_share_x1000") > TOP2_SHARE_MAX)
+                )
+            ).alias("repetitive"),
+        )
     )
 
 

@@ -227,3 +227,16 @@ def test_streaming_window_withholds_unfinalized(spark, tmp_path):
         (_EPOCH - dt.datetime(1970, 1, 1)).total_seconds()
     ) // 3600
     assert got == {epoch_hour0: 1, epoch_hour0 + 1: 1}
+
+
+def test_repetition_exploded_equals_inrow(spark):
+    """The shuffle-based twin must produce row-identical output to the
+    in-row form (it's the documented fallback for giant documents)."""
+    from dpo_ocr_spark.ops.curation import (
+        repetition_stats,
+        repetition_stats_exploded,
+    )
+
+    a = sorted(map(tuple, repetition_stats(spark, SD).collect()))
+    b = sorted(map(tuple, repetition_stats_exploded(spark, SD).collect()))
+    assert a == b
