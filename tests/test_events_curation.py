@@ -240,3 +240,70 @@ def test_repetition_exploded_equals_inrow(spark):
     a = sorted(map(tuple, repetition_stats(spark, SD).collect()))
     b = sorted(map(tuple, repetition_stats_exploded(spark, SD).collect()))
     assert a == b
+
+
+def test_asof_and_sessionize_vs_python_reference(spark, tmp_path):
+    """Randomized (seeded) cross-check against a dict-based reference:
+    2000 events / 300 orders over 40 users with deliberate timestamp
+    collisions (second-granularity draws force at-ts and equal-ts ties)."""
+    import random
+
+    from dpo_ocr_spark.ops.events import GAP_S, asof_join, sessionize
+
+    rng = random.Random(20240816)
+    events = [
+        (_ts(rng.randrange(0, 40_000)), rng.randrange(40)) for _ in range(2000)
+    ]
+    orders = [
+        (rng.randrange(40), _ts(rng.randrange(0, 40_000)),
+         round(rng.uniform(1, 500), 2))
+        for _ in range(300)
+    ]
+    _write_events_orders(spark, tmp_path, events, orders)
+
+    # --- python as-of reference ------------------------------------------
+    by_user_orders = {}
+    for k, (u, t, p) in enumerate(orders):
+        by_user_orders.setdefault(u, []).append((t, k, int(round(p * 10000))))
+    for v in by_user_orders.values():
+        v.sort()  # (ts, orderkey) — larger key wins equal-ts ties
+    expect = {}
+    for i, (t, u) in enumerate(events):
+        cands = [o for o in by_user_orders.get(u, []) if o[0] <= t]
+        expect[i] = (cands[-1][1], cands[-1][2]) if cands else (None, None)
+    got = {
+        r.event_id: (r.o_orderkey, r.o_total_e4)
+        for r in asof_join(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+    # --- python sessionize reference --------------------------------------
+    by_user_ev = {}
+    for t, u in events:
+        by_user_ev.setdefault(u, []).append(t)
+    ref_sessions = set()
+    for u, ts in by_user_ev.items():
+        ts.sort()
+        sid, start, prev, n = 0, ts[0], ts[0], 0
+        for t in ts:
+            if (t - prev).total_seconds() > GAP_S:
+                ref_sessions.add((u, sid, start, prev, n))
+                sid, start, n = sid + 1, t, 0
+            prev = t
+            n += 1
+        ref_sessions.add((u, sid, start, prev, n))
+    # engine session_id is 1-based running sum; normalize both to
+    # (user, start, end, n_events)
+    ref_norm = {(u, s, e, n) for (u, _sid, s, e, n) in ref_sessions}
+    got_norm = {
+        (
+            r.user_id,
+            _EPOCH + dt.timedelta(microseconds=r.start_us - int(
+                (_EPOCH - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)),
+            _EPOCH + dt.timedelta(microseconds=r.end_us - int(
+                (_EPOCH - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)),
+            r.n_events,
+        )
+        for r in sessionize(spark, str(tmp_path)).collect()
+    }
+    assert got_norm == ref_norm
