@@ -179,3 +179,58 @@ SELECT user_id, session_id,
        (MAX(t_us) - MIN(t_us)) // 1000000 AS duration_s
 FROM sess GROUP BY user_id, session_id
 """
+
+
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-statistic quantiles (p50/p90/p99) of event value per
+    event_type — element at rank ceil(q·n) of floor(value·100) integers,
+    NO interpolation, so the result is the multiset order statistic and
+    both engines hash identically regardless of tie order.
+
+    Scale note: one window per event_type means one reducer per group —
+    correct while group count ≫ cores or groups fit a task (they do for
+    enum-like keys at any corpus size ONLY if per-group rows fit one
+    task's sort spill; for billion-row groups use percentile_approx or a
+    two-phase per-partition-histogram merge; this exact form is the
+    verifier/oracle twin).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = W.partitionBy("event_type").orderBy("v")
+    ranked = ev.select(
+        "event_type",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    pick = lambda num, den: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.expr(f"({num} * n + {den - 1}) div {den}"),
+            F.col("v"),
+        )
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        pick(1, 2).alias("p50_x100"),
+        pick(9, 10).alias("p90_x100"),
+        pick(99, 100).alias("p99_x100"),
+    )
+
+
+VALUE_QUANTILES_ORACLE = """
+WITH ev AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v FROM events
+), ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+)
+SELECT event_type, MAX(n) AS n_events,
+       MAX(CASE WHEN rn = (1 * n + 1) // 2 THEN v END) AS p50_x100,
+       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90_x100,
+       MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS p99_x100
+FROM ranked GROUP BY event_type
+"""

@@ -67,3 +67,5 @@ WHERE start_us + 3600000000 <= m - 3600000000
 _register(
     "streaming_window_counts", _q_streaming_window_counts, STREAM_WINDOW_ORACLE
 )
+
+_register("value_quantiles", EV.value_quantiles, EV.VALUE_QUANTILES_ORACLE)

@@ -307,3 +307,25 @@ def test_asof_and_sessionize_vs_python_reference(spark, tmp_path):
         for r in sessionize(spark, str(tmp_path)).collect()
     }
     assert got_norm == ref_norm
+
+
+def test_value_quantiles_vs_numpy(spark):
+    """Exact order statistics: element at ceil(q*n) must equal the sorted
+    array's element at that (1-based) position."""
+    import math
+
+    from dpo_ocr_spark.ops.events import value_quantiles
+
+    got = {r.event_type: r for r in value_quantiles(spark, SD).collect()}
+    ev = spark.read.parquet(f"{SD}/events.parquet").collect()
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append(math.floor(r.value * 100))
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        row = got[et]
+        assert row.n_events == n
+        assert row.p50_x100 == vals[(1 * n + 1) // 2 - 1]
+        assert row.p90_x100 == vals[(9 * n + 9) // 10 - 1]
+        assert row.p99_x100 == vals[(99 * n + 99) // 100 - 1]
