@@ -251,17 +251,7 @@ FROM m
 def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle: (doc_id, shard, pos) — md5-hash shard
     assignment + rank within shard.  Engine/run/cluster-size independent."""
-    docs = _docs(spark, sf_dir)
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    sharded = docs.select(
-        "doc_id", h.alias("h"), F.pmod(h, F.lit(N_SHARDS)).alias("shard")
-    )
-    w = W.partitionBy("shard").orderBy("h", "doc_id")
-    return sharded.select(
-        "doc_id", "shard", F.row_number().over(w).alias("pos")
-    )
+    return order_frame(_docs(spark, sf_dir))
 
 
 TRAINING_ORDER_ORACLE = f"""
@@ -347,3 +337,35 @@ WITH ws AS (
 SELECT doc_id, term, tf, idf_x1000, score, rank
 FROM rk WHERE rank <= {TOP_TERMS}
 """
+
+
+def order_frame(docs: DataFrame) -> DataFrame:
+    """Deterministic (shard, pos) assignment for any doc_id frame — the
+    md5-hash shard + in-shard rank shared by training_order and the
+    composed curated_training_set."""
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    sharded = docs.select(
+        "doc_id", h.alias("h"), F.pmod(h, F.lit(N_SHARDS)).alias("shard")
+    )
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return sharded.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+def curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END composition: the corpus a curation pipeline actually
+    ships — documents passing the curation verdict (dedup-keeper + length
+    + stopword + language rules), shuffled deterministically into training
+    shards.  Composes the oracle-checked curation_verdict and
+    training_order stages; the DuckDB twin chains their oracle SQL."""
+    from .textstats import curation_verdict
+
+    kept = (
+        curation_verdict(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    return order_frame(kept)

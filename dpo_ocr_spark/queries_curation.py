@@ -67,3 +67,28 @@ _register("tfidf_top_terms", C.tfidf_top_terms, C.TFIDF_ORACLE)
 _register(
     "streaming_window_counts", _q_streaming_window_counts, STREAM_WINDOW_ORACLE
 )
+
+
+def _curated_training_oracle() -> str:
+    # chain the already-registered curation_verdict oracle, then apply the
+    # training_order hash/rank contract over its keepers
+    verdict_sql = ORACLES["curation_verdict"]
+    return f"""
+WITH verd AS ({verdict_sql}),
+kept AS (SELECT doc_id FROM verd WHERE keep),
+h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM kept
+)
+SELECT doc_id, h % {C.N_SHARDS} AS shard,
+       row_number() OVER (PARTITION BY h % {C.N_SHARDS} ORDER BY h, doc_id)
+         AS pos
+FROM h
+"""
+
+
+_register(
+    "curated_training_set", C.curated_training_set, _curated_training_oracle()
+)
