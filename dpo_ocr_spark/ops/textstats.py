@@ -274,3 +274,42 @@ def shard_packing(
         "n_tokens",
         F.floor(start / token_budget).cast("long").alias("shard_id"),
     )
+
+
+HOST_CAP = 40  # max documents kept per host (C4/RefinedWeb-style cap)
+
+
+def host_cap(spark, sf_dir: str):
+    """Per-domain document cap — the C4/RefinedWeb anti-spam rule: keep at
+    most HOST_CAP docs per host, chosen deterministically by
+    (md5(url), url) rank so the sample is reproducible across runs,
+    engines and cluster sizes.
+
+    One shuffle (rank window per host); hosts are naturally bounded by
+    the cap downstream, and a mega-host's rank sort is a single task's
+    sort spill — for crawl-scale hot hosts, pre-filter with host_stats'
+    salt_candidate list or raise shuffle partitions; the cap semantics
+    are unchanged.
+    """
+    from pyspark.sql import Window as W, functions as F
+
+    from ..corpus import build_web_pages
+    from ..scale import ensure_parallelism
+
+    pages = ensure_parallelism(build_web_pages(spark, sf_dir))
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    w = W.partitionBy("host").orderBy(F.md5("url"), "url")
+    return (
+        pages.select("url", host.alias("host"))
+        .select(
+            "url",
+            "host",
+            F.row_number().over(w).alias("host_rank"),
+        )
+        .select(
+            "url",
+            "host",
+            "host_rank",
+            (F.col("host_rank") <= HOST_CAP).alias("kept"),
+        )
+    )

@@ -92,3 +92,33 @@ FROM h
 _register(
     "curated_training_set", C.curated_training_set, _curated_training_oracle()
 )
+
+
+def _host_cap_oracle() -> str:
+    from .queries import _URL_SQL
+    from .ops.textstats import HOST_CAP
+
+    return f"""
+WITH pages AS (
+  SELECT {_URL_SQL} AS url FROM documents
+), h AS (
+  SELECT url, regexp_extract(url, '^https://([^/]+)/', 1) AS host
+  FROM pages
+)
+SELECT url, host,
+       row_number() OVER (PARTITION BY host ORDER BY md5(url), url)
+         AS host_rank,
+       row_number() OVER (PARTITION BY host ORDER BY md5(url), url)
+         <= {HOST_CAP} AS kept
+FROM h
+"""
+
+
+from .ops.textstats import host_cap  # noqa: E402
+
+_register("host_cap", host_cap, _host_cap_oracle())
+_register(
+    "repetition_stats_exploded",
+    C.repetition_stats_exploded,
+    C.REPETITION_ORACLE,
+)

@@ -329,3 +329,23 @@ def test_value_quantiles_vs_numpy(spark):
         assert row.p50_x100 == vals[(1 * n + 1) // 2 - 1]
         assert row.p90_x100 == vals[(9 * n + 9) // 10 - 1]
         assert row.p99_x100 == vals[(99 * n + 99) // 100 - 1]
+
+
+def test_host_cap_bounds_and_determinism(spark):
+    from dpo_ocr_spark.ops.textstats import HOST_CAP, host_cap
+
+    a = host_cap(spark, SD).collect()
+    b = host_cap(spark, SD).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    kept_per_host = {}
+    total_per_host = {}
+    for r in a:
+        total_per_host[r.host] = total_per_host.get(r.host, 0) + 1
+        if r.kept:
+            kept_per_host[r.host] = kept_per_host.get(r.host, 0) + 1
+    for host, n in total_per_host.items():
+        assert kept_per_host.get(host, 0) == min(n, HOST_CAP)
+    # the fixture concentrates ~10% of urls on host-hot -> it must be
+    # the host that actually gets capped at sf0.001 (50 docs, cap 40)
+    assert total_per_host["host-hot.example.org"] > HOST_CAP
+    assert kept_per_host["host-hot.example.org"] == HOST_CAP
