@@ -598,3 +598,109 @@ def clusters_from_edges(
             break
     sym.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+# --- incremental dedup (new batch vs indexed corpus) -------------------------
+
+BATCH_MOD = 5  # doc_id % BATCH_MOD == 0 -> the "incoming" batch
+
+
+def incremental_dedup(
+    spark: SparkSession, sf_dir: str, threshold_x1000: int = 300
+) -> DataFrame:
+    """New-batch-vs-corpus dedup — the nightly-crawl shape: the incoming
+    batch (doc_id % 5 == 0) is checked against the already-indexed corpus
+    (the rest), NEVER corpus×corpus.
+
+    exact_dup: md5(normalized text) matches any corpus doc.
+    near_dup:  word-shingle Jaccard ≥ threshold against some corpus doc;
+    best match = argmax (jaccard, then smallest corpus doc_id).
+
+    Scale shape: the corpus sides (fingerprint index, shingle inverted
+    index) are the big relations and are probed with equi-joins keyed on
+    fp/shingle — at real scale they're the pre-bucketed/stored index and
+    the batch side is broadcastable.  Corpus shingles with document
+    frequency > MAX_GROUP are dropped from the probe (stop-shingle cap,
+    mirrored in the oracle); one pair-count shuffle + one argmax window
+    per new doc.
+    """
+    docs = _docs(spark, sf_dir)
+    is_batch = F.col("doc_id") % BATCH_MOD == 0
+
+    fps = docs.select("doc_id", F.md5(_norm_text()).alias("fp"), is_batch.alias("b"))
+    exact = (
+        fps.filter("b")
+        .join(
+            fps.filter(~F.col("b")).select(F.col("fp")).distinct(),
+            "fp",
+            "left_semi",
+        )
+        .select("doc_id", F.lit(True).alias("exact_dup"))
+    )
+
+    sh = shingles_of(docs)
+    new_sh = sh.join(F.broadcast(fps.filter("b").select("doc_id")), "doc_id")
+    corp_sh = sh.join(
+        F.broadcast(fps.filter(~F.col("b")).select("doc_id")), "doc_id"
+    )
+    # stop-shingle cap on the corpus index side
+    corp_df = corp_sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    corp_idx = corp_sh.join(
+        corp_df.filter(F.col("df") <= MAX_GROUP).select("shingle"), "shingle"
+    )
+    inter = (
+        new_sh.withColumnRenamed("doc_id", "new_id")
+        .join(corp_idx.withColumnRenamed("doc_id", "corp_id"), "shingle")
+        .groupBy("new_id", "corp_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    scored = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("new_id"), F.col("n").alias("n_new")),
+            "new_id",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("corp_id"), F.col("n").alias("n_corp")
+            ),
+            "corp_id",
+        )
+        .select(
+            "new_id",
+            "corp_id",
+            F.floor(
+                F.col("n_inter") * 1000
+                / (F.col("n_new") + F.col("n_corp") - F.col("n_inter"))
+            ).cast("long").alias("jaccard_x1000"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("new_id").orderBy(
+        F.desc("jaccard_x1000"), F.asc("corp_id")
+    )
+    best = (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter("rn = 1")
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.col("corp_id").alias("best_match_id"),
+            F.col("jaccard_x1000").alias("best_jaccard_x1000"),
+        )
+    )
+    return (
+        docs.filter(is_batch)
+        .select("doc_id")
+        .join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(best), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce(
+                F.col("best_jaccard_x1000") >= threshold_x1000, F.lit(False)
+            ).alias("near_dup"),
+            "best_match_id",
+            "best_jaccard_x1000",
+        )
+    )

@@ -122,3 +122,61 @@ _register(
     C.repetition_stats_exploded,
     C.REPETITION_ORACLE,
 )
+
+
+def _incremental_dedup_oracle() -> str:
+    from .ops.dedup import BATCH_MOD, MAX_GROUP, incremental_dedup  # noqa: F401
+    from .queries_ops import _SH_CTE
+
+    m = BATCH_MOD
+    return f"""
+WITH {_SH_CTE},
+fps AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         doc_id % {m} = 0 AS b
+  FROM documents
+), exact AS (
+  SELECT DISTINCT f.doc_id FROM fps f
+  WHERE f.b AND EXISTS (SELECT 1 FROM fps c WHERE NOT c.b AND c.fp = f.fp)
+), corp_df AS (
+  SELECT shingle, COUNT(*) AS df FROM sh WHERE doc_id % {m} <> 0
+  GROUP BY shingle
+), inter AS (
+  SELECT n.doc_id AS new_id, c.doc_id AS corp_id, COUNT(*) AS n_inter
+  FROM sh n
+  JOIN sh c ON n.shingle = c.shingle
+  JOIN corp_df d ON d.shingle = n.shingle AND d.df <= {MAX_GROUP}
+  WHERE n.doc_id % {m} = 0 AND c.doc_id % {m} <> 0
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), scored AS (
+  SELECT new_id, corp_id,
+         CAST(floor(n_inter * 1000 / (sn.n + sc.n - n_inter)) AS BIGINT)
+           AS j
+  FROM inter
+  JOIN sizes sn ON sn.doc_id = new_id
+  JOIN sizes sc ON sc.doc_id = corp_id
+), best AS (
+  SELECT new_id AS doc_id, corp_id AS best_match_id,
+         j AS best_jaccard_x1000
+  FROM (SELECT *, row_number() OVER (PARTITION BY new_id
+                                     ORDER BY j DESC, corp_id) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT d.doc_id,
+       e.doc_id IS NOT NULL AS exact_dup,
+       coalesce(b.best_jaccard_x1000 >= 300, FALSE) AS near_dup,
+       b.best_match_id, b.best_jaccard_x1000
+FROM documents d
+LEFT JOIN exact e ON e.doc_id = d.doc_id
+LEFT JOIN best b ON b.doc_id = d.doc_id
+WHERE d.doc_id % {m} = 0
+"""
+
+
+from .ops.dedup import incremental_dedup  # noqa: E402
+
+_register("incremental_dedup", incremental_dedup, _incremental_dedup_oracle())

@@ -349,3 +349,30 @@ def test_host_cap_bounds_and_determinism(spark):
     # the host that actually gets capped at sf0.001 (50 docs, cap 40)
     assert total_per_host["host-hot.example.org"] > HOST_CAP
     assert kept_per_host["host-hot.example.org"] == HOST_CAP
+
+
+def test_incremental_dedup_crafted(spark, tmp_path):
+    """Batch docs (doc_id % 5 == 0): one exact copy of a corpus doc, one
+    near-dup (high shingle overlap), one unique."""
+    from dpo_ocr_spark.ops.dedup import incremental_dedup
+
+    corpus_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, corpus_text),                                   # corpus
+        (2, "totally different words entirely here now"),   # corpus
+        (0, corpus_text),                                   # batch: exact copy of 1
+        (5, "alpha beta gamma delta epsilon zeta eta iota"),  # batch: near-dup of 1
+        (10, "unrelated content nothing shared at all ok"),  # batch: unique
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in incremental_dedup(spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 5, 10}
+    assert got[0].exact_dup and got[0].near_dup
+    assert got[0].best_match_id == 1 and got[0].best_jaccard_x1000 == 1000
+    assert (not got[5].exact_dup) and got[5].near_dup
+    assert got[5].best_match_id == 1
+    assert not got[10].exact_dup and not got[10].near_dup
+    assert got[10].best_match_id is None
