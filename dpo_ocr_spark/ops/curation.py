@@ -369,3 +369,65 @@ def curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return order_frame(kept)
+
+
+# --- PII scrubbing -------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround, no backreferences) so Spark and DuckDB replace/count the
+# identical spans; cross-engine equality on PII-rich text is pinned in
+# tests (the fixture corpus itself is PII-free by construction).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+?\d(?:[\d\-() ]{5,})\d"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-like digit runs with typed
+    placeholders and count them — the privacy-filtering pass a
+    pre-training pipeline runs before export.  Pure JVM regexp
+    (whole-stage codegen, zero shuffles); replacement order is
+    email → ip → phone so the cheaper patterns can't eat an email's
+    digits first.
+    """
+    docs = _docs(spark, sf_dir)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+                PII_IPV4,
+                "<IP>",
+            ),
+            F.lit(PII_PHONE),
+        ).alias("n_phones"),
+        scrubbed.alias("text_scrubbed"),
+    )
+
+
+PII_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ips,
+       len(regexp_extract_all(
+             regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                            '{PII_IPV4}', '<IP>', 'g'),
+             '{PII_PHONE}')) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_IPV4}', '<IP>', 'g'),
+         '{PII_PHONE}', '<PHONE>', 'g') AS text_scrubbed
+FROM documents
+"""

@@ -180,3 +180,5 @@ WHERE d.doc_id % {m} = 0
 from .ops.dedup import incremental_dedup  # noqa: E402
 
 _register("incremental_dedup", incremental_dedup, _incremental_dedup_oracle())
+
+_register("pii_scrub", C.pii_scrub, C.PII_ORACLE)

@@ -376,3 +376,64 @@ def test_incremental_dedup_crafted(spark, tmp_path):
     assert got[5].best_match_id == 1
     assert not got[10].exact_dup and not got[10].near_dup
     assert got[10].best_match_id is None
+
+
+def test_pii_scrub_cross_engine_on_pii_rich_text(spark, tmp_path):
+    """The fixture corpus is PII-free, so the driver gate can't exercise
+    the regexes — pin Spark vs DuckDB vs Python-re on PII-rich docs."""
+    import re
+
+    import duckdb
+
+    from dpo_ocr_spark.ops.curation import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        pii_scrub,
+    )
+
+    docs = [
+        (0, "contact john.doe+spam@sub.example.co.uk or call +1 (415) 555-0199 now"),
+        (1, "server at 192.168.001.1 and 10.0.0.255, backup none"),
+        (2, "mixed a@b.io x 8005551212 y 1.2.3.4 z a@b.io"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r.doc_id: r for r in pii_scrub(spark, str(tmp_path)).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    from dpo_ocr_spark.ops.curation import PII_ORACLE
+
+    oracle = {r[0]: r for r in con.execute(PII_ORACLE).fetchall()}
+
+    for i, text in docs:
+        # python-re reference (same order: email -> ip -> phone)
+        s = re.sub(PII_EMAIL, "<EMAIL>", text)
+        s = re.sub(PII_IPV4, "<IP>", s)
+        n_phones_ref = len(re.findall(PII_PHONE, s))
+        s = re.sub(PII_PHONE, "<PHONE>", s)
+        r = got[i]
+        assert r.text_scrubbed == s, (i, r.text_scrubbed, s)
+        assert r.n_emails == len(re.findall(PII_EMAIL, text))
+        assert r.n_ips == len(re.findall(PII_IPV4, text))
+        assert r.n_phones == n_phones_ref
+        # duckdb twin agrees column-for-column
+        o = oracle[i]
+        assert (o[1], o[2], o[3], o[4]) == (
+            r.n_emails,
+            r.n_ips,
+            r.n_phones,
+            r.text_scrubbed,
+        )
+    assert got[0].n_emails == 1 and got[0].n_phones == 1
+    assert got[1].n_ips == 2
+    assert got[2].n_emails == 2 and got[2].n_ips == 1 and got[2].n_phones == 1
+    assert got[3].text_scrubbed == docs[3][1]
