@@ -234,3 +234,27 @@ SELECT event_type, MAX(n) AS n_events,
        MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS p99_x100
 FROM ranked GROUP BY event_type
 """
+
+
+def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON props column with a
+    TYPED from_json schema (not get_json_object string-plucking — the
+    typed parse lets Catalyst prune and vectorize), then aggregate per
+    extracted key: one groupBy shuffle.  Output integer-exact
+    (floor(value·100) sums)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.from_json("props", "k int").getField("k").alias("k"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return ev.groupBy("k").agg(
+        F.count("*").alias("n_events"),
+        F.sum("v").alias("value_x100_sum"),
+    )
+
+
+PROPS_EXTRACT_ORACLE = """
+SELECT CAST(props->>'k' AS INT) AS k,
+       COUNT(*) AS n_events,
+       SUM(CAST(floor(value * 100) AS BIGINT)) AS value_x100_sum
+FROM events GROUP BY 1
+"""

@@ -182,3 +182,5 @@ from .ops.dedup import incremental_dedup  # noqa: E402
 _register("incremental_dedup", incremental_dedup, _incremental_dedup_oracle())
 
 _register("pii_scrub", C.pii_scrub, C.PII_ORACLE)
+
+_register("props_extract", EV.props_extract, EV.PROPS_EXTRACT_ORACLE)
