@@ -184,3 +184,58 @@ _register("incremental_dedup", incremental_dedup, _incremental_dedup_oracle())
 _register("pii_scrub", C.pii_scrub, C.PII_ORACLE)
 
 _register("props_extract", EV.props_extract, EV.PROPS_EXTRACT_ORACLE)
+
+
+def _q_streaming_sessionize(spark, sf_dir: str):
+    """Stateful streaming sessionization drained availableNow: emits the
+    gap-CLOSED sessions (batch sessionize minus each user's final open
+    session — re-derived exactly by the oracle)."""
+    import tempfile
+
+    from .streaming.stream import stream_sessionize
+
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.mode(
+        "overwrite"
+    ).parquet(tmp + "/src")
+    stream_sessionize(spark, tmp + "/src", tmp + "/ckpt", "stream_sess_q")
+    return spark.table("stream_sess_q")
+
+
+def _streaming_sessionize_oracle() -> str:
+    from .ops.events import GAP_S
+
+    return f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS t_us FROM events
+), flagged AS (
+  SELECT user_id, t_us,
+         CASE WHEN lag(t_us) OVER w IS NULL
+                   OR t_us - lag(t_us) OVER w > {GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us)
+), sess AS (
+  SELECT user_id, t_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY t_us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+), grouped AS (
+  SELECT user_id, session_id,
+         MIN(t_us) AS start_us, MAX(t_us) AS end_us,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, start_us, end_us, n_events
+FROM (SELECT *, MAX(session_id) OVER (PARTITION BY user_id) AS last_sid
+      FROM grouped)
+WHERE session_id <> last_sid
+"""
+
+
+_register(
+    "streaming_sessionize",
+    _q_streaming_sessionize,
+    _streaming_sessionize_oracle(),
+)

@@ -191,3 +191,109 @@ def stream_window_counts(
         .start()
     )
     q.awaitTermination()
+
+
+SESSION_OUT = (
+    "user_id long, start_us long, end_us long, n_events long"
+)
+
+
+def sessionize_stream(events):
+    """Custom stateful streaming operator: gap-based sessionization with
+    ``applyInPandasWithState`` — the per-user open session lives in the
+    state store across micro-batches (and restarts); a session is EMITTED
+    when a later event closes it (gap > GAP_S), so the stream yields
+    exactly the batch sessions minus each user's final open session
+    (which has no closing event; the batch-equivalence is pinned in
+    tests and the oracle).
+
+    Ordering contract: event time must be non-decreasing per user across
+    micro-batches (within a batch the operator sorts) — the file-staging
+    here satisfies it; a production deployment fronts this with a
+    watermark re-ordering buffer or an event-time timeout that flushes
+    stale opens (state-store TTL), config not code.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..ops.events import GAP_S
+
+    gap_us = GAP_S * 1_000_000
+
+    def sessions(key, pdfs, state: GroupState):
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(t) for t in pdf["t_us"])
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed = []
+        for t in ts:
+            if last is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append((key[0], start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last = t
+                n += 1
+        if start is not None:
+            state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "start_us", "end_us", "n_events"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        sessions,
+        outputStructType=SESSION_OUT,
+        stateStructType="start_us long, last_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_sessionize(
+    spark,
+    src_dir: str,
+    checkpoint_dir: str,
+    table: str,
+    max_files_per_trigger: int | None = None,
+    sink_dir: str | None = None,
+):
+    """readStream → stateful sessionization → sink, availableNow drain.
+    ``max_files_per_trigger`` forces multi-micro-batch processing (used by
+    the cross-batch/restart tests; files are consumed oldest-mtime first,
+    so chronologically staged chunks preserve per-user event order).
+    ``sink_dir`` set → durable parquet sink: the CHECKPOINT-RESUMABLE path
+    (a memory sink cannot recover from a checkpoint)."""
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    events = (
+        reader.parquet(src_dir)
+        .select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("t_us"),
+        )
+    )
+    writer = (
+        sessionize_stream(events)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    if sink_dir is not None:
+        q = writer.format("parquet").option("path", sink_dir).start()
+    else:
+        q = writer.format("memory").queryName(table).start()
+    q.awaitTermination()
