@@ -239,3 +239,7 @@ _register(
     _q_streaming_sessionize,
     _streaming_sessionize_oracle(),
 )
+
+from .ops.pixels import IMAGE_AUTOCROP_ORACLE, image_autocrop  # noqa: E402
+
+_register("image_autocrop", image_autocrop, IMAGE_AUTOCROP_ORACLE)

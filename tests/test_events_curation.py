@@ -437,3 +437,57 @@ def test_pii_scrub_cross_engine_on_pii_rich_text(spark, tmp_path):
     assert got[1].n_ips == 2
     assert got[2].n_emails == 2 and got[2].n_ips == 1 and got[2].n_phones == 1
     assert got[3].text_scrubbed == docs[3][1]
+
+
+def test_ppm_roundtrip_and_comment_header():
+    import numpy as np
+
+    from dpo_ocr_spark.ops.pixels import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # header comments must be skipped like a real parser
+    with_comment = b"P6\n# a comment\n9 13\n255\n" + img.tobytes()
+    assert (decode_ppm(with_comment) == img).all()
+
+
+def test_autocrop_gutter_and_empty():
+    import numpy as np
+
+    from dpo_ocr_spark.ops.pixels import (
+        autocrop_bounds,
+        find_gutter,
+        _gray,
+        synth_page,
+        _geometry,
+        IMG_H,
+        IMG_W,
+        GUTTER_W,
+    )
+
+    for doc_id in (0, 7, 123, 9999):
+        top, bottom, left, right, g0 = _geometry(doc_id)
+        g = _gray(synth_page(doc_id))
+        box = autocrop_bounds(g)
+        assert box == (top, IMG_H - 1 - bottom, left, IMG_W - 1 - right)
+        assert find_gutter(g, box) == g0 + (GUTTER_W - 1) // 2
+    blank = np.full((8, 8), 255.0)
+    assert autocrop_bounds(blank) == (-1, -1, -1, -1)
+    assert find_gutter(blank, (-1, -1, -1, -1)) == -1
+
+
+def test_deskew_recovers_known_rotation():
+    """Rotate a striped page by a known small angle; the projection-
+    profile search must recover (the negative of) it."""
+    import numpy as np
+
+    from dpo_ocr_spark.ops.pixels import estimate_skew, rotate_nn
+
+    img = np.full((120, 160), 255, dtype=np.uint8)
+    for y in range(20, 100, 12):  # horizontal text lines
+        img[y : y + 4, 20:140] = 0
+    assert estimate_skew(img.astype(np.float64)) == 0.0
+    skewed = rotate_nn(img, 2.0)
+    # deskew angle cancels the applied rotation (within the 0.5deg grid)
+    assert abs(estimate_skew(skewed.astype(np.float64)) + 2.0) <= 0.5
