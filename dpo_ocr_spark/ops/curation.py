@@ -1,7 +1,8 @@
 """Corpus-curation operators: decontamination, repetition signals,
-deterministic training order.
+deterministic training order, TF-IDF, PII scrubbing, and the composed
+curated-training-set pipeline.
 
-Three more first-class LLM-training-data ops, each in its 100 TB shape:
+First-class LLM-training-data ops, each in its 100 TB shape:
 
 - **decontaminate**: flag corpus documents sharing any word-N-gram with a
   held-out evaluation set (the GPT-3/Llama n-gram-overlap decontamination

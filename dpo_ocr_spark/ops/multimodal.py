@@ -106,12 +106,15 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
 
 
 def decode_stub(payload: bytes) -> "object":
-    """REAL image/audio decode would go here (PIL / libsndfile / ffmpeg are
-    not in this container).  The Spark plumbing calls header-parse only;
-    full pixel decode is explicitly unimplemented."""
+    """COMPRESSED image/audio decode would go here (PIL / libsndfile /
+    ffmpeg are not in this container).  Uncompressed images have a REAL
+    pixel path now — ops/pixels.decode_ppm + autocrop/deskew/page-split
+    (oracle-checked via the image_autocrop query); this stub marks only
+    the compressed-codec boundary."""
     raise NotImplementedError(
-        "pixel/sample decode requires codec libs not present in this "
-        "environment; extract_media_meta covers the header path"
+        "compressed-codec decode requires libs not present in this "
+        "environment; see ops/pixels.py for the real uncompressed path "
+        "and extract_media_meta for the header path"
     )
 
 
