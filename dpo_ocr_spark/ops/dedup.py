@@ -639,10 +639,9 @@ def incremental_dedup(
     )
 
     sh = shingles_of(docs)
-    new_sh = sh.join(F.broadcast(fps.filter("b").select("doc_id")), "doc_id")
-    corp_sh = sh.join(
-        F.broadcast(fps.filter(~F.col("b")).select("doc_id")), "doc_id"
-    )
+    # membership is a pure doc_id predicate -> filter, never a join
+    new_sh = sh.filter(F.col("doc_id") % BATCH_MOD == 0)
+    corp_sh = sh.filter(F.col("doc_id") % BATCH_MOD != 0)
     # stop-shingle cap on the corpus index side
     corp_df = corp_sh.groupBy("shingle").agg(F.count("*").alias("df"))
     corp_idx = corp_sh.join(
