@@ -108,9 +108,10 @@ def run_extraction_bench(
     pages = spark.read.parquet(path)
     extracted = extract_pages(pages)
     t_ex, t_as = [], []
+    totals = None
     for _ in range(passes):
         t0 = time.time()
-        agg = extracted.agg(
+        totals = extracted.agg(
             F.count("*").alias("docs"), F.sum("n_bytes").alias("bytes")
         ).collect()[0]
         t_ex.append(time.time() - t0)
@@ -121,12 +122,12 @@ def run_extraction_bench(
     t_extract = pick(t_ex)
     t_assemble = pick(t_as)
     return {
-        "docs": int(agg.docs),
-        "mb": round(agg.bytes / 1e6, 2),
+        "docs": int(totals.docs),
+        "mb": round(totals.bytes / 1e6, 2),
         "extract_sec": round(t_extract, 3),
         "assemble_sec": round(t_assemble, 3),
-        "docs_per_sec": round(agg.docs / t_extract, 1),
-        "mb_per_sec": round(agg.bytes / 1e6 / t_extract, 2),
+        "docs_per_sec": round(totals.docs / t_extract, 1),
+        "mb_per_sec": round(totals.bytes / 1e6 / t_extract, 2),
         "n_blocks": int(n_blocks),
     }
 

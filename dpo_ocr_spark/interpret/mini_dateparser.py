@@ -140,8 +140,13 @@ def parse(text: str, date_order: str) -> tuple[int, int, int] | None:
             return (y, month_name, d) if _valid_day(d, month_name) else None
         return None
 
-    # pure-numeric: need exactly 2 or 3 tokens, assigned per DATE_ORDER
+    # pure-numeric: need exactly 2 or 3 tokens, assigned per DATE_ORDER.
+    # Ordinal tokens ('3rd') are explicitly DAYS — they may never fill the
+    # month or year slot (dateparser with REQUIRE_PARTS month+year refuses
+    # '3rd 2020': the remaining token cannot be both month and year).
     if len(nums) == 2:
+        if ordinals:
+            return None
         a, b = nums
         # one of them must be a plausible year (4-digit); the other a month
         if len(a) == 4 and 1000 <= int(a) <= 2999 and 1 <= int(b) <= 12:
@@ -153,6 +158,8 @@ def parse(text: str, date_order: str) -> tuple[int, int, int] | None:
         order = {"DMY": (2, 1, 0), "YMD": (0, 1, 2), "MDY": (2, 0, 1)}[
             date_order
         ]
+        if any(i in ordinals for i in (order[0], order[1])):
+            return None  # an ordinal day token landed in the y/m slot
         y_tok, m_tok, d_tok = (nums[order[0]], nums[order[1]], nums[order[2]])
         y = year_of(y_tok)
         if y is None:

@@ -81,7 +81,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.filter(F.col("doc_id") % EVAL_MOD != 0)
         .select("doc_id", "lang")
-        .join(F.broadcast(hits), "doc_id", "left")
+        # hits is corpus-proportional on boilerplate-heavy corpora — a
+        # plain shuffled equi-join, NOT a broadcast (only the eval n-gram
+        # set above is guaranteed small)
+        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
             "lang",
@@ -344,9 +347,9 @@ def order_frame(docs: DataFrame) -> DataFrame:
     """Deterministic (shard, pos) assignment for any doc_id frame — the
     md5-hash shard + in-shard rank shared by training_order and the
     composed curated_training_set."""
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    from .dedup import md5_int63
+
+    h = md5_int63(F.col("doc_id").cast("string"))
     sharded = docs.select(
         "doc_id", h.alias("h"), F.pmod(h, F.lit(N_SHARDS)).alias("shard")
     )

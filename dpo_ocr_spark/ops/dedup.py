@@ -79,6 +79,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def md5_int63(col: F.Column) -> F.Column:
+    """int64 from the first 15 hex chars of md5 — THE cross-engine hash
+    contract (DuckDB twin: queries_ops._MD5INT).  Shared by shingle
+    minhashing, fingerprints, stratified sampling and training-order
+    sharding; the 15-hex width is load-bearing for oracle parity."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _norm_text() -> F.Column:
     return F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
 
@@ -471,7 +479,10 @@ def embedding_neardup_lsh(
     from .similarity import _all_buckets_udf
 
     emb = _quantized(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    dims = len(emb.select("q").first().q)  # driver-side metadata lookup
+    first = emb.select("q").first()  # driver-side metadata lookup
+    if first is None:  # empty table -> empty pair frame, no crash
+        return spark.createDataFrame([], "vec_a long, vec_b long")
+    dims = len(first.q)
     tabbed = emb.select(
         "vec_id",
         F.posexplode(_all_buckets_udf(dims)("q")).alias("tbl", "bucket"),

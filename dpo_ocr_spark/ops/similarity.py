@@ -148,7 +148,9 @@ IVF_CELLS = 16
 IVF_NPROBE = 4
 
 
-def _ivf_centroids(emb: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+def _ivf_centroids(
+    emb: DataFrame, k: int = IVF_CELLS
+) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic coarse centroids: the IVF_CELLS vectors with the
     smallest md5(vec_id) — a seedless random sample (at real scale,
     replace with a k-means fit on the same md5-sample; the search path
@@ -158,7 +160,7 @@ def _ivf_centroids(emb: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     rows = (
         emb.select("vec_id", "q", "norm2")
         .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(IVF_CELLS)
+        .limit(k)
         .collect()
     )
     M = np.array([r.q for r in rows], dtype=np.int64)
@@ -350,7 +352,7 @@ def _kmeans_fit(emb: DataFrame, k: int, iters: int) -> tuple[np.ndarray, np.ndar
     one matmul-per-batch assignment pass + one (cell, dim) aggregation;
     only the k×dims centroid table (driver-side constant) is collected.
     Empty cells keep their previous centroid."""
-    M, cn2 = _ivf_centroids(emb)  # deterministic md5-sample init
+    M, cn2 = _ivf_centroids(emb, k)  # deterministic md5-sample init
     for _ in range(iters):
         sums = (
             _assign_cells(emb, M, cn2)

@@ -15,6 +15,7 @@ Ratios are emitted ×1000 as integers (FP-hash-safe oracle contract).
 
 from __future__ import annotations
 
+from .dedup import md5_int63
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # tiny per-language stopword lists (deterministic, shared with oracle SQL)
@@ -111,8 +112,7 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.md5(norm).alias("fp_md5"),
-        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10)
-        .cast("long")
+        md5_int63(norm)
         .alias("fp_int"),
     )
 
@@ -232,8 +232,7 @@ def stratified_sample(
     rates = rates_x1000 or SAMPLE_RATES_X1000
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 1000
+        md5_int63(F.col("doc_id").cast("string")) % 1000
     )
     rate = F.lit(default_x1000)
     for lang, r in sorted(rates.items()):

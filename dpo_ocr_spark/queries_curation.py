@@ -17,6 +17,19 @@ from .ops import events as EV
 from .ops.similarity import SEMANTIC_PRUNE_ORACLE, semantic_prune
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp whose tree is removed at interpreter exit — streaming query
+    wrappers stage a source copy + checkpoint per run; without cleanup
+    repeated gate runs accumulate unbounded /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _register(name: str, fn, sql: str | None = None) -> None:
     QUERIES[name] = fn
     if sql is not None:
@@ -27,11 +40,9 @@ def _q_streaming_window_counts(spark, sf_dir: str):
     """Watermarked 1h-window counts drained through a real stream (append
     mode: only watermark-finalized windows appear — the oracle re-derives
     the cutoff as window_end <= max(ts) - 1h)."""
-    import tempfile
-
     from .streaming.stream import stream_window_counts
 
-    tmp = tempfile.mkdtemp(prefix="stream_ev_")
+    tmp = _scratch_dir("stream_ev_")
     spark.read.parquet(f"{sf_dir}/events.parquet").write.mode(
         "overwrite"
     ).parquet(tmp + "/src")
@@ -190,11 +201,9 @@ def _q_streaming_sessionize(spark, sf_dir: str):
     """Stateful streaming sessionization drained availableNow: emits the
     gap-CLOSED sessions (batch sessionize minus each user's final open
     session — re-derived exactly by the oracle)."""
-    import tempfile
-
     from .streaming.stream import stream_sessionize
 
-    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    tmp = _scratch_dir("stream_sess_")
     spark.read.parquet(f"{sf_dir}/events.parquet").write.mode(
         "overwrite"
     ).parquet(tmp + "/src")

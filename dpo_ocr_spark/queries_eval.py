@@ -412,16 +412,27 @@ _register_qa()
 # --- streaming (AvailableNow drain; equivalence checked in pytest) ---------------
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp whose tree is removed at interpreter exit — streaming query
+    wrappers stage a source copy + checkpoint per run; without cleanup
+    repeated gate runs accumulate unbounded /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming drain of the corpus through the SAME
     extraction stage; result must equal the batch path (rows-only here;
     byte-equivalence asserted in tests/test_streaming.py)."""
-    import tempfile
-
     from .corpus import build_web_pages
     from .streaming.stream import stream_extract
 
-    tmp = tempfile.mkdtemp(prefix="stream_src_")
+    tmp = _scratch_dir("stream_src_")
     build_web_pages(spark, sf_dir, partitions=8).write.mode(
         "overwrite"
     ).parquet(tmp + "/src")
@@ -445,7 +456,7 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .corpus import build_web_pages
     from .streaming.stream import stream_dedup_extract
 
-    tmp = tempfile.mkdtemp(prefix="stream_dd_")
+    tmp = _scratch_dir("stream_dd_")
     pages = build_web_pages(spark, sf_dir, partitions=8)
     dup = pages.union(pages)  # every url twice → state must halve it
     dup.write.mode("overwrite").parquet(tmp + "/src")

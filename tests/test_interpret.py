@@ -208,6 +208,11 @@ _MATRIX = [
     # day validity
     ("31 Feb 1923", {"DMY": None}),
     ("30th April 1923", {"DMY": (1923, 4, 30)}),
+    # ordinal tokens are DAYS, never months/years — numeric branches too
+    ("3rd 2020", {"DMY": None, "YMD": None, "MDY": None}),
+    ("1 2 3rd", {"DMY": None, "YMD": (2001, 2, 3)}),
+    ("3rd 6 2020", {"DMY": (2020, 6, 3), "MDY": None}),
+    ("2020 6 3rd", {"YMD": (2020, 6, 3), "DMY": None}),
 ]
 
 
