@@ -714,3 +714,33 @@ def incremental_dedup(
             "best_jaccard_x1000",
         )
     )
+
+
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup selection — the production policy: within each
+    near-dup cluster keep the HIGHEST-QUALITY document (stopword-ratio
+    signal, integer-exact; ties to the smaller doc_id), not merely the
+    smallest id.  Composes dedup_clusters (pointer-jumping connected
+    components) with textstats.quality_scores; one extra join + one
+    window per cluster.  Emits every doc with its cluster, quality, the
+    chosen representative, and an is_rep flag."""
+    from pyspark.sql import Window as W
+
+    from .textstats import quality_scores
+
+    clusters = dedup_clusters(spark, sf_dir)
+    quality = quality_scores(spark, sf_dir).select(
+        "doc_id", F.col("stopword_ratio_x1000").alias("quality_x1000")
+    )
+    joined = clusters.join(quality, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("quality_x1000"), "doc_id"
+    )
+    rep = F.first("doc_id").over(w)
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        "quality_x1000",
+        rep.alias("rep_doc_id"),
+        (F.col("doc_id") == rep).alias("is_rep"),
+    )

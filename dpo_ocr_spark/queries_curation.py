@@ -252,3 +252,36 @@ _register(
 from .ops.pixels import IMAGE_AUTOCROP_ORACLE, image_autocrop  # noqa: E402
 
 _register("image_autocrop", image_autocrop, IMAGE_AUTOCROP_ORACLE)
+
+
+def _cluster_reps_oracle() -> str:
+    from .queries_ops import _STOP_EN
+
+    clusters_sql = ORACLES["dedup_clusters"]
+    return f"""
+WITH cl AS ({clusters_sql}),
+q AS (
+  SELECT doc_id,
+         CAST(floor(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                    w -> list_contains({_STOP_EN}, w))) * 1000
+                    / len(regexp_split_to_array(text, '\\s+')))
+              AS BIGINT) AS quality_x1000
+  FROM documents
+), rk AS (
+  SELECT c.doc_id, c.cluster_id, q.quality_x1000,
+         first_value(c.doc_id) OVER (PARTITION BY c.cluster_id
+                                     ORDER BY q.quality_x1000 DESC,
+                                              c.doc_id) AS rep_doc_id
+  FROM cl c JOIN q USING (doc_id)
+)
+SELECT doc_id, cluster_id, quality_x1000, rep_doc_id,
+       doc_id = rep_doc_id AS is_rep
+FROM rk
+"""
+
+
+from .ops.dedup import cluster_representatives  # noqa: E402
+
+_register(
+    "cluster_representatives", cluster_representatives, _cluster_reps_oracle()
+)

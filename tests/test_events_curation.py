@@ -491,3 +491,34 @@ def test_deskew_recovers_known_rotation():
     skewed = rotate_nn(img, 2.0)
     # deskew angle cancels the applied rotation (within the 0.5deg grid)
     assert abs(estimate_skew(skewed.astype(np.float64)) + 2.0) <= 0.5
+
+
+def test_cluster_representatives_pick_quality_not_min_id(spark, tmp_path):
+    """Within a near-dup cluster the HIGHEST-quality doc wins even when it
+    has the larger doc_id (the production selection policy)."""
+    from dpo_ocr_spark.ops.dedup import cluster_representatives
+
+    # docs 0 and 1 are near-dups (share most 3-gram shingles); doc 1 has
+    # more stopwords -> higher quality; doc 2 is its own cluster
+    base = "the quick brown fox jumps over lazy dog near river bank today"
+    docs = [
+        (0, base + " xx yy zz"),
+        (1, base + " and the of to"),
+        (2, "completely different content entirely unrelated words here"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in
+           cluster_representatives(spark, str(tmp_path)).collect()}
+    assert got[0].cluster_id == got[1].cluster_id == 0
+    assert got[0].rep_doc_id == got[1].rep_doc_id == 1  # quality beats min-id
+    assert got[1].is_rep and not got[0].is_rep
+    assert got[2].is_rep and got[2].cluster_id == 2
+    # exactly one representative per cluster
+    reps = {}
+    for r in got.values():
+        reps.setdefault(r.cluster_id, 0)
+        reps[r.cluster_id] += int(r.is_rep)
+    assert all(v == 1 for v in reps.values())
