@@ -435,3 +435,84 @@ SELECT doc_id,
          '{PII_PHONE}', '<PHONE>', 'g') AS text_scrubbed
 FROM documents
 """
+
+
+# --- URL canonicalization ------------------------------------------------------
+
+def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization, pure JVM string expressions
+    (zero shuffles): lowercase scheme+authority, strip the default :443
+    port, drop fragments, sort query parameters, trim trailing path
+    slashes.  The raw URLs are synthesized deterministically messy from
+    doc_id (uppercase host, default port, unsorted query, fragment — each
+    toggled by a doc_id residue) so the oracle predicts the canonical
+    form arithmetically while the engine does the real normalization.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(d % 2 == 0, F.lit("Host-")).otherwise(F.lit("host-")),
+        (d % 20).cast("string"),
+        F.lit(".Example.ORG"),
+        F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Doc/"),
+        d.cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    no_frag = F.regexp_replace(raw, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z]+)://", 1))
+    authority = F.lower(
+        F.regexp_extract(no_frag, r"^[A-Za-z]+://([^/?#]+)", 1)
+    )
+    authority = F.regexp_replace(authority, r":443$", "")
+    path = F.regexp_extract(no_frag, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    path = F.when(
+        F.col("_p").rlike(r"^.+/$"), F.expr("rtrim('/', _p)")
+    ).otherwise(F.col("_p"))
+    query = F.regexp_extract(no_frag, r"\?([^#]*)", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return (
+        docs.select(
+            "doc_id",
+            raw.alias("raw_url"),
+            no_frag.alias("_nf"),
+            scheme.alias("_s"),
+            authority.alias("_a"),
+            F.regexp_extract(no_frag, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+            .alias("_p"),
+            sorted_q.alias("_q"),
+        )
+        .select(
+            "doc_id",
+            "raw_url",
+            F.concat(
+                F.col("_s"),
+                F.lit("://"),
+                F.col("_a"),
+                path,
+                F.when(
+                    F.col("_q") != "", F.concat(F.lit("?"), F.col("_q"))
+                ).otherwise(F.lit("")),
+            ).alias("url_norm"),
+        )
+    )
+
+
+URL_NORMALIZE_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Host-' ELSE 'https://host-'
+         END
+       || CAST(doc_id % 20 AS VARCHAR) || '.Example.ORG'
+       || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+       || '/Doc/' || CAST(doc_id AS VARCHAR)
+       || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+       || CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1' ELSE '' END
+       || CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END AS raw_url,
+       'https://host-' || CAST(doc_id % 20 AS VARCHAR) || '.example.org'
+       || '/Doc/' || CAST(doc_id AS VARCHAR)
+       || CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2' ELSE '' END AS url_norm
+FROM documents
+"""

@@ -285,3 +285,5 @@ from .ops.dedup import cluster_representatives  # noqa: E402
 _register(
     "cluster_representatives", cluster_representatives, _cluster_reps_oracle()
 )
+
+_register("url_normalize", C.url_normalize, C.URL_NORMALIZE_ORACLE)
