@@ -516,3 +516,50 @@ SELECT doc_id,
        || CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2' ELSE '' END AS url_norm
 FROM documents
 """
+
+
+# --- Unicode normalization -----------------------------------------------------
+
+def unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC-normalize document text — the unicode-canonicalization pass a
+    web corpus needs before hashing/dedup (decomposed accents, ligature
+    variants hash differently otherwise).  Spark has no NFC builtin, so
+    this is an Arrow-vectorized pandas_udf over ``unicodedata`` (the one
+    sanctioned Python path: no JVM equivalent exists); zero shuffles.
+    DuckDB twin: ``nfc_normalize`` — both implement Unicode NFC, so the
+    gate compares real normalization outputs (combining-character inputs
+    pinned in pytest; the fixture corpus is ASCII where NFC = identity).
+    """
+    def nfc_batches(it):
+        import unicodedata
+
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["text_nfc"] = pdf["text"].map(
+                lambda t: unicodedata.normalize("NFC", t)
+                if t is not None
+                else None
+            )
+            yield pdf
+
+    docs = _docs(spark, sf_dir)
+    out = docs.select("doc_id", "text").mapInPandas(
+        nfc_batches, schema="doc_id long, text string, text_nfc string"
+    )
+    return out.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.length("text_nfc").alias("n_chars_nfc"),
+        (F.col("text") != F.col("text_nfc")).alias("changed"),
+        F.md5("text_nfc").alias("nfc_md5"),
+    )
+
+
+UNICODE_NORMALIZE_ORACLE = """
+SELECT doc_id,
+       length(text) AS n_chars_raw,
+       length(nfc_normalize(text)) AS n_chars_nfc,
+       text <> nfc_normalize(text) AS changed,
+       md5(nfc_normalize(text)) AS nfc_md5
+FROM documents
+"""

@@ -522,3 +522,44 @@ def test_cluster_representatives_pick_quality_not_min_id(spark, tmp_path):
         reps.setdefault(r.cluster_id, 0)
         reps[r.cluster_id] += int(r.is_rep)
     assert all(v == 1 for v in reps.values())
+
+
+def test_unicode_normalize_cross_engine_on_accents(spark, tmp_path):
+    """The fixture corpus is ASCII (NFC = identity) — pin real NFC on
+    combining characters: Spark (unicodedata) vs DuckDB (nfc_normalize)
+    must agree on change flags, lengths and hashes."""
+    import duckdb
+
+    from dpo_ocr_spark.ops.curation import (
+        UNICODE_NORMALIZE_ORACLE,
+        unicode_normalize,
+    )
+
+    docs = [
+        (0, "café touché"),  # decomposed e + combining acute
+        (1, "café touché"),    # precomposed form (already NFC)
+        (2, "plain ascii text"),
+        (3, "Å ring"),             # A + combining ring -> Å
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in
+           unicode_normalize(spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = {r[0]: r for r in con.execute(UNICODE_NORMALIZE_ORACLE).fetchall()}
+    for i, _ in docs:
+        r, o = got[i], oracle[i]
+        assert (r.n_chars_raw, r.n_chars_nfc, r.changed, r.nfc_md5) == (
+            o[1], o[2], o[3], o[4],
+        ), i
+    assert got[0].changed and got[0].n_chars_nfc < got[0].n_chars_raw
+    assert not got[1].changed
+    assert got[0].nfc_md5 == got[1].nfc_md5  # both normalize to one form
+    assert not got[2].changed
+    assert got[3].changed
