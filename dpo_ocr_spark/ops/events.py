@@ -258,3 +258,44 @@ SELECT CAST(props->>'k' AS INT) AS k,
        SUM(CAST(floor(value * 100) AS BIGINT)) AS value_x100_sum
 FROM events GROUP BY 1
 """
+
+
+def cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional CUBE aggregate over events: counts + integer
+    value sums for every (event_type, value_bucket) combination including
+    both marginals and the grand total — the OLAP companion to
+    rollup_summary (which covers the hierarchical ROLLUP form).  NULL
+    grouping columns are replaced by 'ALL' sentinels so the hash gate
+    never compares engine NULL-ordering."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor(F.col("value") / 25).cast("int")).alias("value_bucket"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    out = ev.cube("event_type", "value_bucket").agg(
+        F.count("*").alias("n_events"),
+        F.sum("v").alias("value_x100_sum"),
+    )
+    return out.select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        F.coalesce(F.col("value_bucket").cast("string"), F.lit("ALL")).alias(
+            "value_bucket"
+        ),
+        "n_events",
+        "value_x100_sum",
+    )
+
+
+CUBE_SUMMARY_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value / 25) AS INT) AS value_bucket,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(value_bucket AS VARCHAR), 'ALL') AS value_bucket,
+       COUNT(*) AS n_events,
+       SUM(v) AS value_x100_sum
+FROM ev GROUP BY CUBE (event_type, value_bucket)
+"""

@@ -289,3 +289,5 @@ _register(
 _register("url_normalize", C.url_normalize, C.URL_NORMALIZE_ORACLE)
 
 _register("unicode_normalize", C.unicode_normalize, C.UNICODE_NORMALIZE_ORACLE)
+
+_register("cube_summary", EV.cube_summary, EV.CUBE_SUMMARY_ORACLE)

@@ -563,3 +563,16 @@ def test_unicode_normalize_cross_engine_on_accents(spark, tmp_path):
     assert got[0].nfc_md5 == got[1].nfc_md5  # both normalize to one form
     assert not got[2].changed
     assert got[3].changed
+
+
+def test_approx_count_distinct_within_bounds(spark):
+    """The HLL scale path for count_distinct: approx_count_distinct must
+    land within its documented rsd bound of the exact count (the
+    estimator queries a 100 TB pipeline actually runs — exact
+    count_distinct is the oracle-checked verifier)."""
+    docs = spark.read.parquet(f"{SD}/documents.parquet")
+    exact = docs.select(F.countDistinct("text")).first()[0]
+    approx = docs.select(
+        F.approx_count_distinct("text", rsd=0.02)
+    ).first()[0]
+    assert abs(approx - exact) <= max(3 * 0.02 * exact, 2), (approx, exact)
