@@ -122,6 +122,8 @@ def parse(text: str, date_order: str) -> tuple[int, int, int] | None:
             # day + year in either position; an ordinal token is always the
             # day, else the 4-digit (or the later) token is the year
             a, b = nums
+            if 0 in ordinals and 1 in ordinals:
+                return None  # two explicit DAY ordinals, no year slot left
             if 0 in ordinals or 1 in ordinals:
                 d_idx = 0 if 0 in ordinals else 1
                 y = year_of(nums[1 - d_idx])

@@ -404,18 +404,17 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         PII_PHONE,
         "<PHONE>",
     )
+    # counts follow the SAME cascade as the replacement (email -> ip ->
+    # phone): each stage counts on the previous stage's output, so the
+    # counts always equal the placeholders actually written (an IP inside
+    # an email's domain is part of the <EMAIL>, not a separate <IP>)
+    after_email = F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
     return docs.select(
         "doc_id",
         F.regexp_count("text", F.lit(PII_EMAIL)).alias("n_emails"),
-        F.regexp_count("text", F.lit(PII_IPV4)).alias("n_ips"),
-        F.regexp_count(
-            F.regexp_replace(
-                F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
-                PII_IPV4,
-                "<IP>",
-            ),
-            F.lit(PII_PHONE),
-        ).alias("n_phones"),
+        F.regexp_count(after_email, F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PII_PHONE)).alias("n_phones"),
         scrubbed.alias("text_scrubbed"),
     )
 
@@ -423,7 +422,9 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 PII_ORACLE = f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
-       len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ips,
+       len(regexp_extract_all(
+             regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_IPV4}')) AS n_ips,
        len(regexp_extract_all(
              regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
                             '{PII_IPV4}', '<IP>', 'g'),
@@ -468,7 +469,6 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(no_frag, r"^[A-Za-z]+://([^/?#]+)", 1)
     )
     authority = F.regexp_replace(authority, r":443$", "")
-    path = F.regexp_extract(no_frag, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
     path = F.when(
         F.col("_p").rlike(r"^.+/$"), F.expr("rtrim('/', _p)")
     ).otherwise(F.col("_p"))
@@ -478,7 +478,6 @@ def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             raw.alias("raw_url"),
-            no_frag.alias("_nf"),
             scheme.alias("_s"),
             authority.alias("_a"),
             F.regexp_extract(no_frag, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)

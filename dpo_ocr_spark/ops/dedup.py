@@ -52,9 +52,14 @@ def _capped_groups(grouped: DataFrame, what: str, cap: int = MAX_GROUP) -> DataF
 
 
 def drop_stats(what: str) -> dict:
-    """Hot-group drop counts for the last-built '{what}' plan.  Runs a
+    """Hot-group drop counts for the LAST-BUILT '{what}' plan.  Runs a
     dedicated aggregate job over the grouped frame — production jobs
-    persist the grouped stage or log this next to the output commit."""
+    persist the grouped stage or log this next to the output commit.
+
+    Registry semantics: one slot per op name (bounded — at most one
+    retained grouped frame per dedup family), overwritten on each plan
+    build; stats always describe the most recent corpus/params, and the
+    frame is only valid while its SparkSession lives."""
     src = _DROP_SOURCES.get(what)
     if src is None:
         return {"dropped_groups": 0, "dropped_ids": 0}

@@ -265,7 +265,12 @@ def lsh_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """Multi-table bucketed ANN: candidates = union over tables of
     same-bucket rows, exact cosine re-rank within candidates."""
     emb = _emb(spark, sf_dir)
-    dims = len(emb.select("q").first().q)  # metadata lookup, driver-side
+    first = emb.select("q").first()  # metadata lookup, driver-side
+    if first is None:  # empty table -> empty result, no crash
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, cos_r6 double"
+        )
+    dims = len(first.q)
     # all table buckets in ONE pass over one scan (an 8-way union re-read
     # the parquet 8× — measured), then posexplode to (tbl, bucket) rows
     tabbed = emb.select(
@@ -353,6 +358,12 @@ def _kmeans_fit(emb: DataFrame, k: int, iters: int) -> tuple[np.ndarray, np.ndar
     only the k×dims centroid table (driver-side constant) is collected.
     Empty cells keep their previous centroid."""
     M, cn2 = _ivf_centroids(emb, k)  # deterministic md5-sample init
+    # fewer vectors than k (incl. an empty table): fit over what exists —
+    # M may have < k rows; callers must size output to len(M), not k
+    if M.ndim != 2 or len(M) == 0:
+        import numpy as _np
+
+        return _np.zeros((0, 1), dtype=_np.int64), _np.zeros(0, _np.int64)
     for _ in range(iters):
         sums = (
             _assign_cells(emb, M, cn2)
@@ -384,6 +395,10 @@ def kmeans_centroids(
     stringification differs between engines, csv doesn't."""
     emb = _emb(spark, sf_dir)
     M, cn2 = _kmeans_fit(emb, k, iters)
+    if len(M) == 0:  # empty embeddings table
+        return spark.createDataFrame(
+            [], "cell int, centroid_csv string, norm2 long, n_members long"
+        )
     final = (
         _assign_cells(emb, M, cn2)
         .groupBy("cell")
@@ -398,7 +413,7 @@ def kmeans_centroids(
             int(cn2[cell]),
             int(counts.get(cell, 0)),
         )
-        for cell in range(k)
+        for cell in range(len(M))  # may be < k on small tables
     ]
     return spark.createDataFrame(
         rows, "cell int, centroid_csv string, norm2 long, n_members long"

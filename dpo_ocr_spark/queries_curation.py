@@ -12,22 +12,10 @@ epoch-microsecond timestamps).
 from __future__ import annotations
 
 from .queries import ORACLES, QUERIES
+from .queries_eval import _scratch_dir
 from .ops import curation as C
 from .ops import events as EV
 from .ops.similarity import SEMANTIC_PRUNE_ORACLE, semantic_prune
-
-
-def _scratch_dir(prefix: str) -> str:
-    """mkdtemp whose tree is removed at interpreter exit — streaming query
-    wrappers stage a source copy + checkpoint per run; without cleanup
-    repeated gate runs accumulate unbounded /tmp."""
-    import atexit
-    import shutil
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
 
 
 def _register(name: str, fn, sql: str | None = None) -> None:

@@ -449,8 +449,6 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction stage, durable parquet sink (rows-only; exactly-once
     across restarts pinned in tests/test_streaming.py).  The source is
     written with duplicate urls so the state actually drops rows."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from .corpus import build_web_pages

@@ -33,9 +33,19 @@ def _write_empty_tables(spark, tmp_path):
 
 def _ops():
     from dpo_ocr_spark.ops import curation as C, dedup as D, events as EV
-    from dpo_ocr_spark.ops.similarity import semantic_prune
+    from dpo_ocr_spark.ops.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+        lsh_topk,
+        semantic_prune,
+    )
 
     return [
+        kmeans_centroids,
+        brute_force_topk,
+        lsh_topk,
+        ivf_topk,
         EV.asof_join,
         EV.sessionize,
         EV.value_quantiles,

@@ -397,6 +397,9 @@ def test_pii_scrub_cross_engine_on_pii_rich_text(spark, tmp_path):
         (1, "server at 192.168.001.1 and 10.0.0.255, backup none"),
         (2, "mixed a@b.io x 8005551212 y 1.2.3.4 z a@b.io"),
         (3, "clean text with no identifiers at all"),
+        # an IP inside an email's domain is part of the <EMAIL>, not a
+        # separate <IP> — counts must match the placeholders written
+        (4, "bob@1.2.3.4.example.com pinged 5.6.7.8"),
     ]
     spark.createDataFrame(
         [(i, t, "en", "s", len(t)) for i, t in docs],
@@ -415,15 +418,17 @@ def test_pii_scrub_cross_engine_on_pii_rich_text(spark, tmp_path):
     oracle = {r[0]: r for r in con.execute(PII_ORACLE).fetchall()}
 
     for i, text in docs:
-        # python-re reference (same order: email -> ip -> phone)
+        # python-re reference — counts follow the SAME cascade as the
+        # replacement (each stage counts on the previous stage's output)
         s = re.sub(PII_EMAIL, "<EMAIL>", text)
+        n_ips_ref = len(re.findall(PII_IPV4, s))
         s = re.sub(PII_IPV4, "<IP>", s)
         n_phones_ref = len(re.findall(PII_PHONE, s))
         s = re.sub(PII_PHONE, "<PHONE>", s)
         r = got[i]
         assert r.text_scrubbed == s, (i, r.text_scrubbed, s)
         assert r.n_emails == len(re.findall(PII_EMAIL, text))
-        assert r.n_ips == len(re.findall(PII_IPV4, text))
+        assert r.n_ips == n_ips_ref
         assert r.n_phones == n_phones_ref
         # duckdb twin agrees column-for-column
         o = oracle[i]
@@ -437,6 +442,8 @@ def test_pii_scrub_cross_engine_on_pii_rich_text(spark, tmp_path):
     assert got[1].n_ips == 2
     assert got[2].n_emails == 2 and got[2].n_ips == 1 and got[2].n_phones == 1
     assert got[3].text_scrubbed == docs[3][1]
+    assert got[4].n_emails == 1 and got[4].n_ips == 1  # NOT 2
+    assert got[4].text_scrubbed == "<EMAIL> pinged <IP>"
 
 
 def test_ppm_roundtrip_and_comment_header():

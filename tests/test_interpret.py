@@ -161,7 +161,7 @@ def test_interpret_all_on_labels(spark):
     assert sorted(map(tuple, fields)) == sorted(map(tuple, again))
 
 
-def test_interpret_full_golden_sf001(spark):
+def test_interpret_full_golden_sf0_01(spark):
     """End-to-end composition pin: the full interpret pipeline output at
     sf0.01 must match the checked-in golden parquet row-for-row.  Catches
     stage-composition regressions that per-stage oracles can't (the
@@ -176,7 +176,7 @@ def test_interpret_full_golden_sf001(spark):
         .sort_values(list(df.columns))
         .reset_index(drop=True)
     )
-    want = pd.read_parquet("/root/repo/tests/fixtures/interpret_full_sf001.parquet")
+    want = pd.read_parquet("/root/repo/tests/fixtures/interpret_full_sf0_01.parquet")
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want, check_exact=True)
 
@@ -213,6 +213,9 @@ _MATRIX = [
     ("1 2 3rd", {"DMY": None, "YMD": (2001, 2, 3)}),
     ("3rd 6 2020", {"DMY": (2020, 6, 3), "MDY": None}),
     ("2020 6 3rd", {"YMD": (2020, 6, 3), "DMY": None}),
+    # two explicit day ordinals leave no year slot -> refuse
+    ("3rd 4th May", {"DMY": None, "YMD": None, "MDY": None}),
+    ("May 3rd 21st", {"DMY": None}),
 ]
 
 
