@@ -341,8 +341,17 @@ this kernel on this box.  On a real multi-executor cluster each
 executor owns its own memory channels, so the per-node linear region is
 what extrapolates.
 """
-    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
-        f.write(md)
+    # preserve hand-written narrative sections below the marker — the
+    # auto-generated block above it is replaced, everything after kept
+    marker = "<!-- MANUAL-SECTIONS (preserved by bench.py --scaling) -->\n"
+    path = "/root/repo/BENCH/BASELINE.md"
+    manual = ""
+    if os.path.exists(path):
+        cur = open(path).read()
+        if marker in cur:
+            manual = cur.split(marker, 1)[1]
+    with open(path, "w") as f:
+        f.write(md + "\n" + marker + manual)
     print(
         json.dumps(
             {
