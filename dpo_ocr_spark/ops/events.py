@@ -33,7 +33,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-MONEY = "decimal(18,4)"
 GAP_S = 1800  # session gap threshold (seconds)
 
 
@@ -70,9 +69,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("is_left"),
         F.lit(None).cast("long").alias("event_id"),
         F.col("o_orderkey").alias("r_orderkey"),
-        (F.col("o_totalprice").cast(MONEY) * 10000)
-        .cast("long")
-        .alias("r_total_e4"),
+        F.floor(F.col("o_totalprice") * 10000.0 + 0.5).alias("r_total_e4"),
     )
     # at equal t_us the order row sorts first (is_left=0) => at-or-before;
     # among equal-time orders the larger orderkey sorts last => wins.
@@ -103,7 +100,7 @@ WITH u AS (
   UNION ALL
   SELECT o_custkey, epoch_us(o_orderdate), 0, NULL,
          o_orderkey,
-         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+         CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT)
   FROM orders
 ), c AS (
   SELECT *,

@@ -3,7 +3,9 @@ when SQL-expressible, an ``ORACLES`` DuckDB-SQL twin (driver contract).
 
 Oracle design rules (FP-safe hashing):
 - integer-exact outputs wherever possible (counts, ``conf_x100`` sums);
-- money aggregates cast to DECIMAL(18,4) *before* SUM in both engines;
+- money values integerised as ``floor(x * 10000 + 0.5)`` on plain doubles in
+  both engines (IEEE-exact; a double→DECIMAL cast rounds differently across
+  DuckDB builds — the round-1/2 driver hash FAILs);
 - ratios computed from exact components then ``round(x, 4)`` in both.
 
 The synthetic-corpus oracles re-derive the engine's expected output from
@@ -173,8 +175,8 @@ def _register_relational() -> None:
             "multiway_join",
             R.q_multiway_join,
             """SELECT n_name,
-                      SUM(CAST(CAST(l_extendedprice * (1 - l_discount)
-                                    AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                      SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 10000.0 + 0.5) AS BIGINT))
                         AS revenue_x10k,
                       COUNT(*) AS n_items
                FROM lineitem
@@ -263,7 +265,7 @@ def _register_relational() -> None:
                            WHEN l_discount > 0.02 THEN 'low'
                            ELSE 'none' END AS disc_class,
                       COUNT(*) AS n,
-                      SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000
+                      SUM(CAST(floor(l_extendedprice * 10000.0 + 0.5)
                                AS BIGINT)) AS gross_x10k
                FROM lineitem GROUP BY 1""",
         ),
@@ -287,7 +289,7 @@ def _register_relational() -> None:
             "range_join",
             R.q_range_join,
             """SELECT r_regionkey AS zone_id, COUNT(*) AS n_orders,
-                      SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                      SUM(CAST(floor(o_totalprice * 10000.0 + 0.5)
                                AS BIGINT)) AS total_x10k
                FROM orders JOIN region
                  ON o_totalprice >= r_regionkey * 60000.0

@@ -5,10 +5,11 @@ reference implements, re-expressed with idiomatic DataFrame ops so Catalyst
 handles pushdown/join-selection/partial-agg.  DuckDB oracle twins live in
 ``queries.py``.
 
-FP-safety: money aggregates are emitted as BIGINT ten-thousandths
-(cast to DECIMAL(18,4), ×10000, cast long, then SUM) so both engines hash
-the identical integer — Spark's DECIMAL(28,4) and DuckDB's DECIMAL(38,4)
-stringify differently even when values are equal.  Averages are emitted as
+FP-safety: money aggregates are emitted as BIGINT ten-thousandths via
+``floor(x * 10000 + 0.5)`` on plain doubles — multiply/add/floor are exactly
+specified IEEE-754 ops, bit-identical in every engine and version, unlike a
+``double → DECIMAL`` cast whose rounding proved build-dependent across DuckDB
+versions (driver hash FAILs in rounds 1-2).  Averages are emitted as
 round(sum_double/count, 4) computed from exact components.  Dimension sides of joins are explicitly broadcast —
 nation/region/zone tables stay tiny at any scale.
 """
@@ -50,10 +51,10 @@ def q_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.sum(
-                (
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(MONEY)
-                    * 10000
-                ).cast("long")
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0
+                    + 0.5
+                )
             ).alias("revenue_x10k"),
             F.count("*").alias("n_items"),
         )
@@ -188,9 +189,7 @@ def q_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.groupBy(bucket.alias("disc_class")).agg(
         F.count("*").alias("n"),
-        F.sum((F.col("l_extendedprice").cast(MONEY) * 10000).cast("long")).alias(
-            "gross_x10k"
-        ),
+        F.sum(F.floor(F.col("l_extendedprice") * 10000.0 + 0.5)).alias("gross_x10k"),
     )
 
 
@@ -236,9 +235,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("zone_id")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum((F.col("o_totalprice").cast(MONEY) * 10000).cast("long")).alias(
-                "total_x10k"
-            ),
+            F.sum(F.floor(F.col("o_totalprice") * 10000.0 + 0.5)).alias("total_x10k"),
         )
     )
 
