@@ -62,15 +62,19 @@ def zonal_data(tokens: DataFrame, zones: DataFrame) -> DataFrame:
         & (F.col("wy0") >= F.col("y0")) & (F.col("wy2") <= F.col("y1")),
     )
     arr = F.array_sort(F.collect_list(F.struct("word", "word_text")))
-    return joined.groupBy(
+    grouped = joined.groupBy(
         "url", "zone_id", "field_name", "row_no", "word_separator"
     ).agg(
-        F.array_join(
-            F.transform(arr, lambda s: s["word_text"]),
-            # separator comes from the zone row (constant within group)
-            " ",
-        ).alias("cell_text"),
+        F.transform(arr, lambda s: s["word_text"]).alias("cell_words"),
         F.count("*").alias("n_words"),
+    )
+    # the separator comes from the zone row (a grouping key, so constant
+    # within the group) — reference joins with ocr_zones.word_separator,
+    # database/database.sql:229-251, NOT a hardcoded space
+    return grouped.select(
+        "url", "zone_id", "field_name", "row_no", "word_separator",
+        F.expr("array_join(cell_words, word_separator)").alias("cell_text"),
+        "n_words",
     )
 
 

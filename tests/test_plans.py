@@ -76,3 +76,17 @@ def test_bucketed_join_colocates_without_shuffle(spark, tmp_path):
         assert "Exchange hashpartitioning" in _plan(control)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cc_loop_lineage_truncated(spark):
+    """clusters_from_edges localCheckpoints the label frame each round, so
+    the downstream plan is O(1) in the round count.  Before the fix the
+    25-round unrolled loop compiled cluster_representatives to 2,922
+    Exchanges — a planner/driver blow-up at real graph sizes.  Gate: the
+    executed plan stays under 50 Exchanges."""
+    import __spark_entry__ as E
+
+    df = E.queries()["cluster_representatives"](spark, SD)
+    plan = _plan(df)
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges < 50, f"{n_exchanges} Exchanges — lineage not truncated"
