@@ -59,10 +59,22 @@ def _ngrams(words: Column, n: int) -> Column:
     )
 
 
-def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontaminate(
+    spark: SparkSession, sf_dir: str, eval_is_bounded: bool = True
+) -> DataFrame:
     """Per corpus doc: distinct word-4-grams shared with the eval split.
 
     Returns (doc_id, lang, n_hits, contaminated) for every NON-eval doc.
+
+    ``eval_is_bounded``: the broadcast of the eval n-gram set is valid
+    ONLY when the eval side is a true fixed-size benchmark suite (the
+    production case: MMLU/GSM8K/…-style sets whose size is independent of
+    corpus size).  This fixture derives eval from ``doc_id % 97 == 0`` —
+    ~1% of the corpus, so the broadcast side would grow linearly at
+    100 TB; pass ``eval_is_bounded=False`` for any eval-∝-corpus setup
+    and the probe becomes a plain shuffled equi-join on gram (AQE still
+    upgrades it to broadcast when the set actually fits).  Results are
+    identical either way (pinned in tests).
     """
     docs = _docs(spark, sf_dir)
     grams = docs.select(
@@ -72,9 +84,11 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_grams = (
         grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("gram").distinct()
     )
+    if eval_is_bounded:
+        eval_grams = F.broadcast(eval_grams)
     hits = (
         grams.filter(F.col("doc_id") % EVAL_MOD != 0)
-        .join(F.broadcast(eval_grams), "gram")
+        .join(eval_grams, "gram")
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("n_hits"))
     )
@@ -383,7 +397,18 @@ def curated_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests (the fixture corpus itself is PII-free by construction).
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
-PII_PHONE = r"\+?\d(?:[\d\-() ]{5,})\d"
+# Phone heuristic: require a structural marker (leading +, parens, dash
+# groups) or one long CONTIGUOUS digit run.  Bare space-separated digit
+# groups like '2020 2021 2022' are prose (year lists, tables) and must
+# survive scrubbing — the previous any-digit-run pattern silently
+# replaced them, degrading curated training text.
+PII_PHONE = (
+    r"\+\d[\d\-() ]{5,}\d"  # international: leading +
+    r"|\(\d{1,4}\) ?\d[\d\- ]{3,9}\d"  # (area) local
+    r"|\b\d{2,4}(?:-\d{2,4}){2,4}\b"  # multi-dash groups 555-123-4567
+    r"|\b\d{3}-\d{4}\b"  # 7-digit local 555-1234
+    r"|\b\d{7,15}\b"  # contiguous digit run
+)
 
 
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

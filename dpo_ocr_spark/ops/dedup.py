@@ -22,6 +22,8 @@ columns).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 SHINGLE_K = 3  # words per shingle
@@ -352,19 +354,30 @@ def simhash64_py(words: list[str]) -> int:
     return out
 
 
-def simhash(
-    spark: SparkSession, sf_dir: str, ascii_guard: bool = True
-) -> DataFrame:
+_WS_SPLIT = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def simhash_tokens(text: str | None) -> list[str]:
+    """The simhash tokenization contract, shared by kernel and tests:
+    lowercase, then split on ASCII whitespace ONLY.  Deliberately NOT
+    ``str.split()`` (which also splits on Unicode whitespace like U+00A0)
+    so the DuckDB oracle's RE2 ``\\s+`` — ASCII-only — tokenizes
+    identically on any corpus."""
+    return [w for w in _WS_SPLIT.split((text or "").lower()) if w]
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints via Arrow batches (bit-majority not portably
     SQL-expressible; emitted as two 32-bit halves to stay in signed longs).
 
-    ``ascii_guard``: the DuckDB oracle re-derives FNV-1a over per-CHAR
-    code points (ascii(substring(word, i, 1))) while the kernel hashes
-    UTF-8 BYTES, and Python str.split() differs from RE2 '\\s' on Unicode
-    whitespace — identical only on ASCII text.  The registered query
-    keeps the guard ON so a non-ASCII corpus fails loudly here instead of
-    as an inscrutable driver hash mismatch; pass False for real corpora
-    (the kernel itself is UTF-8-correct; only the oracle twin is not)."""
+    Unicode contract (oracle-exact on real corpora): the kernel hashes
+    UTF-8 BYTES with FNV-1a and the DuckDB twin expands each code point
+    to its UTF-8 bytes before the same fold, so non-ASCII text hashes
+    identically in both engines; tokenization is pinned to ASCII
+    whitespace (``simhash_tokens``).  Known residual divergence: exotic
+    context-sensitive casings where Python ``str.lower()`` and DuckDB's
+    utf8proc disagree (Greek final sigma, dotted İ) — irrelevant for
+    fingerprint QUALITY, only for oracle equality on such text."""
     import pandas as pd
     from collections.abc import Iterator
 
@@ -372,20 +385,7 @@ def simhash(
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if ascii_guard:
-                for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
-                    if t and not t.isascii():
-                        raise ValueError(
-                            f"simhash oracle contract: doc_id={doc_id} "
-                            "contains non-ASCII text; the DuckDB oracle "
-                            "only matches the UTF-8 kernel on ASCII — "
-                            "run simhash(..., ascii_guard=False) and drop "
-                            "the oracle, or extend it to byte-level FNV"
-                        )
-            hs = [
-                simhash64_py((t or "").lower().split())
-                for t in pdf["text"]
-            ]
+            hs = [simhash64_py(simhash_tokens(t)) for t in pdf["text"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -14,8 +14,10 @@ the reference's pixel algorithms on actual arrays inside Arrow batches:
   (the standard deskew objective; the reference trims after small
   rotations in the same spirit);
 - I3 page split: gutter detection as the widest all-white column run
-  inside the content box (``data_prep/NMAH_Ledgers/nmah_ledgers_1.py:
-  27-34`` splits scans at the vertical valley).
+  inside the content box.  The reference splits two-page scans at a
+  FIXED midpoint — ``round(width/2)``, ``data_prep/NMAH_Ledgers/
+  nmah_ledgers_1.py:27-34``; detecting the gutter valley instead is this
+  engine's refinement of that step (robust to off-center bindings).
 
 JPEG/PNG remain a codec plug-in point: ``decode_ppm`` is the ONLY
 format-specific function — swapping in a real decoder changes no other

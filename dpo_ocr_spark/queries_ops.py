@@ -744,13 +744,23 @@ FROM m
 # simhash oracle: FNV-1a re-implemented in DuckDB HUGEINT arithmetic
 # (the 64-bit wrap-around multiply runs mod 2^64 in 128-bit ints; xor
 # only ever touches the low 8 bits so a BIGINT xor on h%256 is exact),
-# then per-bit sign-majority over the word hashes. Bit-identical to the
-# Python reference on the full corpus.
+# then per-bit sign-majority over the word hashes.  BYTE-level: each
+# code point is expanded to its UTF-8 bytes before the fold, matching
+# the kernel's w.encode('utf-8') on non-ASCII corpora too.
 _FNV_SQL = r"""
 list_reduce(
   list_prepend(14695981039346656037::HUGEINT,
-    list_transform(range(1, length(word) + 1),
-                   i -> ascii(substring(word, i, 1))::HUGEINT)),
+    flatten(list_transform(
+      list_transform(range(1, length(word) + 1),
+                     i -> ascii(substring(word, i, 1))::HUGEINT),
+      c -> CASE
+        WHEN c < 128 THEN [c]
+        WHEN c < 2048 THEN [192 + c // 64, 128 + c % 64]
+        WHEN c < 65536 THEN [224 + c // 4096, 128 + (c // 64) % 64,
+                             128 + c % 64]
+        ELSE [240 + c // 262144, 128 + (c // 4096) % 64,
+              128 + (c // 64) % 64, 128 + c % 64]
+      END))),
   (a, b) -> ((a - (a % 256)
               + xor(CAST(a % 256 AS BIGINT), CAST(b AS BIGINT)))
              * 1099511628211::HUGEINT)

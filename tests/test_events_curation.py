@@ -119,6 +119,14 @@ def test_decontaminate_crafted(spark, tmp_path):
     assert set(got) == {1, 2}
     assert got[1] == (1, True)
     assert got[2] == (0, False)
+    # eval-∝-corpus fallback (no broadcast hint) is result-identical
+    fallback = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in decontaminate(
+            spark, str(tmp_path), eval_is_bounded=False
+        ).collect()
+    }
+    assert fallback == got
 
 
 def test_repetition_stats_crafted(spark, tmp_path):
@@ -400,6 +408,9 @@ def test_pii_scrub_cross_engine_on_pii_rich_text(spark, tmp_path):
         # an IP inside an email's domain is part of the <EMAIL>, not a
         # separate <IP> — counts must match the placeholders written
         (4, "bob@1.2.3.4.example.com pinged 5.6.7.8"),
+        # numeric prose must SURVIVE: year lists / ranges are not phones
+        (5, "seasons 2020 2021 2022 and the 2020-2021 range, page 1234"),
+        (6, "call 555-123-4567 or 555-1234 or 8005551212 today"),
     ]
     spark.createDataFrame(
         [(i, t, "en", "s", len(t)) for i, t in docs],
@@ -438,6 +449,12 @@ def test_pii_scrub_cross_engine_on_pii_rich_text(spark, tmp_path):
             r.n_phones,
             r.text_scrubbed,
         )
+    # the explicit contract, independent of the reference impls: numeric
+    # prose survives, structured phones are caught
+    assert got[5].n_phones == 0
+    assert got[5].text_scrubbed == docs[5][1]
+    assert got[6].n_phones == 3
+    assert "<PHONE>" in got[6].text_scrubbed
     assert got[0].n_emails == 1 and got[0].n_phones == 1
     assert got[1].n_ips == 2
     assert got[2].n_emails == 2 and got[2].n_ips == 1 and got[2].n_phones == 1

@@ -31,8 +31,10 @@ def test_simhash_spark_matches_python(spark):
     rows = duckdb.sql(
         f"select doc_id, text from '{SD}/documents.parquet' limit 20"
     ).fetchall()
+    from dpo_ocr_spark.ops.dedup import simhash_tokens
+
     for doc_id, text in rows:
-        assert got[doc_id] == simhash64_py(text.lower().split())
+        assert got[doc_id] == simhash64_py(simhash_tokens(text))
 
 
 def test_lsh_recall_vs_brute_force(spark):
@@ -208,26 +210,49 @@ def test_embedding_neardup_lsh_vs_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_simhash_ascii_guard(spark):
-    """Non-ASCII text must fail LOUDLY in the registered simhash query
-    (the DuckDB oracle is byte-vs-codepoint divergent off ASCII), and the
-    guard must be liftable for real corpora."""
-    import pytest as _pytest
+def test_simhash_non_ascii_oracle_green(spark, tmp_path):
+    """The byte-level DuckDB twin must hash-match the UTF-8 kernel on a
+    crafted NON-ASCII corpus (2-, 3- and 4-byte UTF-8, NBSP, mixed
+    scripts) — the round-2 ascii_guard is gone because the oracle now
+    folds over UTF-8 bytes, not code points."""
+    import duckdb
 
-    from dpo_ocr_spark.ops.dedup import simhash, simhash64_py
+    import __spark_entry__ as E
+    from dpo_ocr_spark.ops.dedup import simhash, simhash64_py, simhash_tokens
 
-    import pyspark
+    texts = [
+        (1, "café au lait"),
+        (2, "straße größer übermaß"),
+        (3, "привет мир ёжик"),
+        (4, "日本語のテスト 中文测试"),
+        (5, "emoji🙂mix 🚀rocket"),
+        (6, "nbsp stays-one-token plain second"),
+        (7, None),
+        (8, ""),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    sd = str(tmp_path)
+    docs.write.mode("overwrite").parquet(sd + "/documents.parquet")
 
-    docs = spark.createDataFrame(
-        [(1, "café au lait")], "doc_id long, text string"
+    got = {
+        r.doc_id: (r.simhash_hi, r.simhash_lo)
+        for r in simhash(spark, sd).collect()
+    }
+    # python reference agrees with the kernel (incl. NBSP as ONE token)
+    for doc_id, text in texts:
+        h = simhash64_py(simhash_tokens(text))
+        assert got[doc_id] == (h >> 32, h & 0xFFFFFFFF)
+    # the registered DuckDB oracle agrees byte-for-byte
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sd}/documents.parquet/*.parquet'"
     )
-    tmp = "/tmp/simhash_guard_docs"
-    docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
-    with _pytest.raises(Exception, match="non-ASCII"):
-        simhash(spark, tmp).collect()
-    rows = simhash(spark, tmp, ascii_guard=False).collect()
-    h = simhash64_py("café au lait".split())
-    assert (rows[0].simhash_hi << 32 | rows[0].simhash_lo) == h
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(E.oracle_sql()["simhash"]).fetchall()
+    }
+    assert got == want
 
 
 def test_dedup_clusters_topologies(spark):
