@@ -106,15 +106,23 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
 
 
 def decode_stub(payload: bytes) -> "object":
-    """COMPRESSED image/audio decode would go here (PIL / libsndfile /
-    ffmpeg are not in this container).  Uncompressed images have a REAL
-    pixel path now — ops/pixels.decode_ppm + autocrop/deskew/page-split
-    (oracle-checked via the image_autocrop query); this stub marks only
-    the compressed-codec boundary."""
+    """Image decode is REAL now: PPM, PNG (full 8-bit, all filters) and
+    baseline JPEG (Huffman+IDCT, 4:4:4/4:2:2/4:2:0, restart markers) are
+    implemented numpy-only in ops/codecs.py and oracle-checked via the
+    image_autocrop / image_autocrop_png / image_autocrop_jpeg queries.
+    This stub marks only the remaining NON-image boundary (audio/video:
+    libsndfile/ffmpeg are not in this container) plus exotic image
+    variants the decoders reject explicitly (progressive JPEG, Adam7
+    PNG, 16-bit depths)."""
+    if payload[:2] in (b"P6", b"\xff\xd8") or payload[:8].startswith(
+        b"\x89PNG"
+    ):
+        from .codecs import decode_image
+
+        return decode_image(payload)
     raise NotImplementedError(
-        "compressed-codec decode requires libs not present in this "
-        "environment; see ops/pixels.py for the real uncompressed path "
-        "and extract_media_meta for the header path"
+        "audio/video decode requires libs not present in this "
+        "environment (see ops/codecs.py for the real image paths)"
     )
 
 

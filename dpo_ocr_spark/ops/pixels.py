@@ -182,11 +182,18 @@ def synth_page(doc_id: int) -> np.ndarray:
     return img
 
 
-def image_autocrop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I1+I3 through real pixels: synthesize a PPM per doc (deterministic
-    geometry), DECODE it, trim blank borders, find the page-split gutter —
-    all inside Arrow batches (mapInPandas), zero shuffles.  The oracle
-    re-derives every output column as doc_id arithmetic."""
+def image_autocrop(
+    spark: SparkSession, sf_dir: str, codec: str = "ppm"
+) -> DataFrame:
+    """I1+I3 through real pixels: synthesize an image per doc
+    (deterministic geometry), ENCODE it in ``codec`` (ppm / png /
+    baseline jpeg 4:2:0), magic-sniff DECODE it back, trim blank
+    borders, find the page-split gutter — all inside Arrow batches
+    (mapInPandas), zero shuffles.  The oracle re-derives every output
+    column as doc_id arithmetic; it is codec-independent because PNG is
+    lossless and the JPEG q92 quantization error (≤10 at block edges)
+    never moves a border/gutter under the WHITE=250 mean threshold
+    (verified exhaustively for the 500-doc id space)."""
     from ..scale import ensure_parallelism
 
     docs = ensure_parallelism(
@@ -194,11 +201,19 @@ def image_autocrop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_image, encode_jpeg, encode_png
+
+        encoders = {
+            "ppm": lambda im: encode_ppm(im),
+            "png": encode_png,
+            "jpeg": lambda im: encode_jpeg(im, 92, "420"),
+        }
+        enc = encoders[codec]
         for pdf in it:
             rows = []
             for doc_id in pdf["doc_id"]:
-                ppm = encode_ppm(synth_page(int(doc_id)))
-                img = decode_ppm(ppm)  # the real decode round-trip
+                payload = enc(synth_page(int(doc_id)))
+                img = decode_image(payload)  # the real decode round-trip
                 g = _gray(img)
                 box = autocrop_bounds(g)
                 gx = find_gutter(g, box)

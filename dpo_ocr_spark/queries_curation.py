@@ -240,6 +240,19 @@ _register(
 from .ops.pixels import IMAGE_AUTOCROP_ORACLE, image_autocrop  # noqa: E402
 
 _register("image_autocrop", image_autocrop, IMAGE_AUTOCROP_ORACLE)
+# same arithmetic oracle through the COMPRESSED codec paths: PNG is
+# lossless; JPEG q92 4:2:0 quantization error never moves a border or
+# gutter under the autocrop threshold (exhaustive over the id space)
+_register(
+    "image_autocrop_png",
+    lambda spark, sf_dir: image_autocrop(spark, sf_dir, codec="png"),
+    IMAGE_AUTOCROP_ORACLE,
+)
+_register(
+    "image_autocrop_jpeg",
+    lambda spark, sf_dir: image_autocrop(spark, sf_dir, codec="jpeg"),
+    IMAGE_AUTOCROP_ORACLE,
+)
 
 
 def _cluster_reps_oracle() -> str:

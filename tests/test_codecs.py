@@ -1,0 +1,187 @@
+"""Pure-numpy codec tests: PNG (all filters/color types), baseline JPEG
+(gray/color, 4:4:4/4:2:2/4:2:0, restart markers), dispatch, rejections.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from dpo_ocr_spark.ops.codecs import (
+    decode_image,
+    decode_jpeg,
+    decode_png,
+    encode_jpeg,
+    encode_png,
+)
+
+RNG = np.random.default_rng(42)
+
+
+# --- PNG --------------------------------------------------------------------
+
+
+def test_png_rgb_roundtrip_exact():
+    img = RNG.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+def _filter_line(f, line, prev, ch):
+    """Forward PNG filter (test-side reference) to craft filtered files."""
+    out = np.empty_like(line)
+    for i in range(len(line)):
+        a = int(line[i - ch]) if i >= ch else 0
+        b = int(prev[i])
+        c = int(prev[i - ch]) if i >= ch else 0
+        x = int(line[i])
+        if f == 0:
+            v = x
+        elif f == 1:
+            v = x - a
+        elif f == 2:
+            v = x - b
+        elif f == 3:
+            v = x - ((a + b) >> 1)
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = x - pred
+        out[i] = v & 0xFF
+    return out
+
+
+def _craft_png(img, filters, color=2, plte=None):
+    """Hand-build a PNG using a chosen filter type per scanline."""
+    h, w = img.shape[:2]
+    ch = img.shape[2] if img.ndim == 3 else 1
+    flat = img.reshape(h, w * ch)
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.uint8)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        raw += _filter_line(f, flat[y], prev, ch).tobytes()
+        prev = flat[y]
+
+    def chunk(typ, payload):
+        crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", crc)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+    if plte is not None:
+        out += chunk(b"PLTE", plte.tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_all_five_filters():
+    img = RNG.integers(0, 256, (15, 11, 3), dtype=np.uint8)
+    data = _craft_png(img, filters=[0, 1, 2, 3, 4])
+    assert (decode_png(data) == img).all()
+
+
+def test_png_gray_palette_alpha_variants():
+    gray = RNG.integers(0, 256, (9, 7, 1), dtype=np.uint8)
+    out = decode_png(_craft_png(gray, [0, 1, 2, 3, 4], color=0))
+    assert (out == np.repeat(gray, 3, axis=2)).all()
+
+    plte = RNG.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = RNG.integers(0, 16, (6, 8, 1), dtype=np.uint8)
+    out = decode_png(_craft_png(idx, [0, 2], color=3, plte=plte))
+    assert (out == plte[idx[:, :, 0]]).all()
+
+    rgba = RNG.integers(0, 256, (5, 5, 4), dtype=np.uint8)
+    out = decode_png(_craft_png(rgba, [0, 1, 4], color=6))
+    assert (out == rgba[:, :, :3]).all()
+
+    ga = RNG.integers(0, 256, (5, 4, 2), dtype=np.uint8)
+    out = decode_png(_craft_png(ga, [2, 3], color=4))
+    assert (out == np.repeat(ga[:, :, :1], 3, axis=2)).all()
+
+
+def test_png_rejections():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"nope")
+    img = RNG.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    data = bytearray(encode_png(img))
+    # flip interlace byte inside IHDR (offset: 8 sig + 8 hdr + 12th byte)
+    data[8 + 8 + 12] = 1
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(bytes(data))
+
+
+# --- JPEG -------------------------------------------------------------------
+
+
+def _maxerr(a, b):
+    return int(np.abs(a.astype(int) - b.astype(int)).max())
+
+
+def test_jpeg_gray_roundtrip_close():
+    x = np.linspace(0, 255, 64)
+    gray = np.clip(np.add.outer(x, x) / 2, 0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert dec.shape == (64, 64, 3)
+    assert _maxerr(dec[:, :, 0], gray) < 12
+
+
+@pytest.mark.parametrize("mode", ["444", "422", "420"])
+@pytest.mark.parametrize("restart", [0, 3])
+def test_jpeg_color_modes_and_restarts(mode, restart):
+    from dpo_ocr_spark.ops.pixels import synth_page
+
+    pg = synth_page(13)  # sharp-edged 64x96 page, non-MCU-aligned for 420
+    dec = decode_jpeg(encode_jpeg(pg, 92, mode, restart))
+    assert dec.shape == pg.shape
+    assert _maxerr(dec, pg) <= 16  # ringing at block edges only
+    # flat regions must be essentially exact
+    assert _maxerr(dec[30:34, 2:4], pg[30:34, 2:4]) <= 4
+
+
+def test_jpeg_odd_dimensions():
+    img = RNG.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, 95, "420"))
+    assert dec.shape == (17, 23, 3)  # crops MCU padding correctly
+
+
+def test_jpeg_rejections():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01")
+    # progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    i = bytes(data).index(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(data))
+
+
+# --- dispatch ---------------------------------------------------------------
+
+
+def test_dispatch_and_unknown():
+    from dpo_ocr_spark.ops.pixels import encode_ppm
+
+    img = RNG.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    assert (decode_image(encode_png(img)) == img).all()
+    assert (decode_image(encode_ppm(img)) == img).all()
+    assert decode_image(encode_jpeg(img)).shape == (6, 6, 3)
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_image(b"RIFF....WAVE")
+
+
+def test_decode_stub_images_real_audio_not():
+    from dpo_ocr_spark.ops.multimodal import decode_stub
+
+    img = RNG.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    assert decode_stub(encode_png(img)).shape == (6, 6, 3)
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"RIFF....WAVE")
