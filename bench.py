@@ -157,27 +157,37 @@ def main() -> int:
     import __spark_entry__ as E
 
     # Split-sizing rule (same as the --scaling runs): target ~2-3 scan
-    # tasks per core over the staged 419 MB corpus → ~2 MB splits here.
-    # Measured sweep at ×48/local[32]: default(32 splits) 6.1s, 4m(38)
-    # 4.8s, 2m(69) 3.25s, 1m(129) 3.4s — the knee is ~2×cores tasks.
-    # At 100 TB the same rule gives the default 128 MB splits; this knob
-    # expresses task granularity, not a fixture hack.
+    # tasks per core over the staged 419 MB corpus → ~2 MB splits for the
+    # EXTRACTION phase only.  Measured sweep at ×48/local[32]: default(32
+    # splits) 6.1s, 4m(38) 4.8s, 2m(69) 3.25s, 1m(129) 3.4s — the knee is
+    # ~2×cores tasks.  At 100 TB the same rule gives the default 128 MB
+    # splits; this knob expresses task granularity, not a fixture hack.
+    #
+    # r2 regression attribution (A/B, one sitting, same VM window):
+    # applying 2m SESSION-WIDE — as r2's bench did — fragments the small
+    # per-query sf0.1 scans into tiny tasks and cost the headline set
+    # 60.6s vs 40.2s at the 128m default (extract_text 15.1→7.4s,
+    # topk_window 1.24→0.28s), while not helping the staged-corpus
+    # phase it was introduced for.  maxPartitionBytes is runtime-settable,
+    # so it is now scoped per phase: 2m for extraction, default for the
+    # query loop.  Env-overridable for future A/Bs.
+    ext_mpb = os.environ.get("BENCH_MAX_PARTITION_BYTES", "2m")
+    query_mpb = os.environ.get("BENCH_QUERY_MAX_PARTITION_BYTES", "128m")
     spark = get_spark(
         "bench",
         cpus=CPUS,
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": "2m",
-            "spark.sql.files.openCostInBytes": "0",
-        },
+        extra_conf={"spark.sql.files.openCostInBytes": "0"},
     )
     qs = E.queries()
     times: dict[str, float] = {}
     # warm-up: JVM + parquet footer caches (smallest query)
     qs["topk_window"](spark, SF_DIR).count()
 
+    spark.conf.set("spark.sql.files.maxPartitionBytes", ext_mpb)
     ext = run_extraction_bench(spark, SF_DIR, REPLICATE, passes=3, agg="min")
     times["extract_pipeline"] = ext["extract_sec"]
     times["assemble_pipeline"] = ext["assemble_sec"]
+    spark.conf.set("spark.sql.files.maxPartitionBytes", query_mpb)
 
     # three timed runs per query, report the min: single cold passes in a
     # shared JVM vary ±2-3× with GC/worker churn (measured), which is
@@ -191,6 +201,13 @@ def main() -> int:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
+    # Hardware control (NO Spark): the same extraction kernel via plain
+    # multiprocessing.  Clean-window reference on this VM: ~31k docs/s at
+    # 8 procs, ~64k at 32 (BENCH/BASELINE.md repeatability table).  A
+    # driver-side hypervisor-noise window shows up here as a collapsed
+    # control, making a slow bench self-attributing (r2's unexplained
+    # 3.8x headline regression had no such line).
+    ctl = hardware_control([8, 32])
     print(
         json.dumps(
             {
@@ -200,12 +217,17 @@ def main() -> int:
                 "queries": times,
                 "sf": SF_DIR,
                 "cpus": CPUS,
+                "max_partition_bytes": {
+                    "extract_phase": ext_mpb,
+                    "query_phase": query_mpb,
+                },
                 "throughput": {
                     "extract_docs_per_sec": ext["docs_per_sec"],
                     "extract_mb_per_sec": ext["mb_per_sec"],
                     "docs": ext["docs"],
                     "mb": ext["mb"],
                 },
+                "control_docs_per_sec": ctl,
             }
         )
     )
