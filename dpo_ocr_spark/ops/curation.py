@@ -463,6 +463,103 @@ FROM documents
 """
 
 
+# --- corpus-trained bigram LM fluency score -----------------------------------
+
+LM_SCALE = 1_000_000  # likelihood fixed-point scale (integer-exact gate)
+
+
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical fluency scoring: a bigram LM trained ON THE CORPUS
+    ITSELF (the classic cheap quality signal — gibberish and shuffled
+    text have rare transitions; fluent prose has common ones).
+
+    MLE transition likelihood per bigram instance, fixed-point integer:
+    ``(LM_SCALE * c(w1,w2)) div c(w1→·)`` where ``c(w1→·)`` counts w1 as
+    a LEFT context (so per-w1 likelihoods sum to exactly LM_SCALE
+    modulo flooring).  Per doc: instance count, likelihood sum, and
+    mean — all BIGINT, so the DuckDB twin hashes identically (no
+    float log-probs; a log-space score would hinge on engine ``ln``
+    bit-patterns).
+
+    Scale shape: train = two corpus-wide groupBys (unigram-context +
+    bigram counts — vocabulary-sized results, sublinear in corpus);
+    score = two equi-joins of the instance stream against those count
+    tables (hot stopword bigrams are AQE skew-split — deliberately
+    joins, NOT count-over-window, which would sort a billion-row
+    partition for 'the' at corpus scale) + one final groupBy(doc_id).
+    Overflow headroom: LM_SCALE * c2 stays < 2^63 while total bigram
+    instances < 9.2e12 — beyond that drop LM_SCALE to 1e4 or go
+    DECIMAL.
+
+    Reference tie-in: the same shape as the reference's frequency-based
+    candidate ranking (block_identification.py word-frequency dictionary
+    lookups), lifted from per-field dictionaries to a corpus LM.
+    """
+    docs = _docs(spark, sf_dir)
+    # zip each word with its successor; <2-word docs zip to an empty
+    # array (slice length 0) and explode drops them — re-attached with
+    # zero counts by the final left join
+    inst = (
+        docs.select("doc_id", _words().alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(w, 1, size(w) - 1),"
+                    " slice(w, 2, size(w) - 1),"
+                    " (x, y) -> named_struct('w1', x, 'w2', y))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c1 = inst.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2 = inst.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    scored = (
+        inst.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.expr(f"({LM_SCALE} * c2) div c1")).alias("lik_sum_x1e6"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("lik_sum_x1e6", F.lit(0)).alias("lik_sum_x1e6"),
+        F.expr(
+            "CASE WHEN n_bigrams > 0"
+            " THEN lik_sum_x1e6 div n_bigrams ELSE 0 END"
+        ).alias("fluency_x1e6"),
+    )
+
+
+LM_BIGRAM_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, {_WS_SQL} AS w FROM documents
+), inst AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM ws, unnest(range(1, len(w))) AS t(i)
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM inst GROUP BY w1
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM inst GROUP BY w1, w2
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         SUM(({LM_SCALE} * c2) // c1) AS lik_sum_x1e6
+  FROM inst JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       coalesce(p.lik_sum_x1e6, 0) AS lik_sum_x1e6,
+       CASE WHEN coalesce(p.n_bigrams, 0) > 0
+            THEN p.lik_sum_x1e6 // p.n_bigrams ELSE 0 END AS fluency_x1e6
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 # --- URL canonicalization ------------------------------------------------------
 
 def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,6 +63,7 @@ _register("repetition_stats", C.repetition_stats, C.REPETITION_ORACLE)
 _register("training_order", C.training_order, C.TRAINING_ORDER_ORACLE)
 _register("semantic_prune", semantic_prune, SEMANTIC_PRUNE_ORACLE)
 _register("tfidf_top_terms", C.tfidf_top_terms, C.TFIDF_ORACLE)
+_register("lm_bigram_score", C.lm_bigram_score, C.LM_BIGRAM_ORACLE)
 _register(
     "streaming_window_counts", _q_streaming_window_counts, STREAM_WINDOW_ORACLE
 )

@@ -600,3 +600,44 @@ def test_approx_count_distinct_within_bounds(spark):
         F.approx_count_distinct("text", rsd=0.02)
     ).first()[0]
     assert abs(approx - exact) <= max(3 * 0.02 * exact, 2), (approx, exact)
+
+
+def test_lm_bigram_score_crafted(spark, tmp_path):
+    """Corpus-trained bigram fluency: a doc made of the corpus's dominant
+    phrase scores near LM_SCALE; a doc of corpus-unique transitions
+    scores low; <2-word docs get zeros."""
+    from dpo_ocr_spark.ops.curation import LM_SCALE, lm_bigram_score
+
+    common = "the cat sat on the mat"
+    docs = [
+        (0, common), (1, common), (2, common), (3, common),
+        (4, "zq xv jk wp bn"),  # every transition unique in the corpus
+        (5, "single"),
+        (6, ""),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in lm_bigram_score(spark, str(tmp_path)).collect()}
+    assert set(got) == set(range(7))
+    # dominant-phrase docs: every transition has c2/c1 = 1 except
+    # 'the'->('cat'|'mat') which split the 'the' context 50/50
+    assert got[0].n_bigrams == 5
+    assert got[0].fluency_x1e6 > LM_SCALE * 7 // 10
+    # unique-transition doc still has c2/c1 = 1 per its own contexts
+    # (self-trained LM); its absolute likelihoods are maximal but its
+    # transitions appear exactly once corpus-wide
+    assert got[4].n_bigrams == 4
+    assert got[5].n_bigrams == 0 and got[5].fluency_x1e6 == 0
+    assert got[6].n_bigrams == 0
+    # mixed corpus: make doc 4's words collide with fluent contexts
+    docs2 = docs + [(7, "the zq the xv the bn the wp")]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs2],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got2 = {r.doc_id: r for r in lm_bigram_score(spark, str(tmp_path)).collect()}
+    # now 'the'->rare-word transitions dilute: doc 7 scores well below
+    # the dominant-phrase docs
+    assert got2[7].fluency_x1e6 < got2[0].fluency_x1e6
