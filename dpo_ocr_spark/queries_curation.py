@@ -69,6 +69,43 @@ _register(
 )
 
 
+def _q_streaming_interval_join(spark, sf_dir: str):
+    """Stream-stream self interval join drained through a real stream.
+    Single staged file → one micro-batch → inner join emits every match,
+    so the plain SQL interval join is a FULL oracle."""
+    from .streaming.stream import stream_interval_join
+
+    tmp = _scratch_dir("stream_ij_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp + "/src")
+    stream_interval_join(spark, tmp + "/src", tmp + "/ckpt", "stream_ij_q")
+    return spark.table("stream_ij_q")
+
+
+STREAM_INTERVAL_JOIN_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type FROM events
+)
+SELECT a.user_id,
+       a.event_id AS src_event_id,
+       b.event_id AS dst_event_id,
+       a.t_us AS src_us,
+       b.t_us AS dst_us,
+       b.event_type AS dst_type
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND b.t_us > a.t_us
+ AND b.t_us <= a.t_us + 600000000
+"""
+
+_register(
+    "streaming_interval_join",
+    _q_streaming_interval_join,
+    STREAM_INTERVAL_JOIN_ORACLE,
+)
+
+
 def _curated_training_oracle() -> str:
     # chain the already-registered curation_verdict oracle, then apply the
     # training_order hash/rank contract over its keepers

@@ -297,3 +297,75 @@ def stream_sessionize(
     else:
         q = writer.format("memory").queryName(table).start()
     q.awaitTermination()
+
+
+def stream_interval_join(
+    spark,
+    src_dir: str,
+    checkpoint_dir: str,
+    table: str,
+    lead: str = "10 minutes",
+):
+    """Stream-stream self INTERVAL JOIN: each event matched to the same
+    user's follow-up events within ``lead`` — the attribution/funnel
+    shape (click → purchase) every event pipeline needs.
+
+    Both sides carry watermarks and the join condition is a closed time
+    range on the event-time columns, so Spark derives a state-eviction
+    bound (state per side ≈ watermark delay + lead, NOT unbounded) — the
+    property that keeps a stream-stream join alive at 10^12 events.
+    Inner joins emit every match regardless of watermark; the oracle is
+    therefore the plain SQL interval self-join when the source drains in
+    one micro-batch (the registered query stages a single parquet file).
+    Outputs are epoch-us integers — engine-stringification-proof.
+    """
+    instant_of = lambda col: F.timestamp_micros(  # noqa: E731
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+    )
+    a = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src_dir)
+        .select(
+            instant_of("ts").alias("a_t"),
+            F.col("event_id").alias("src_event_id"),
+            "user_id",
+        )
+        .withWatermark("a_t", "1 hour")
+    )
+    b = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src_dir)
+        .select(
+            instant_of("ts").alias("b_t"),
+            F.col("event_id").alias("dst_event_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("event_type").alias("dst_type"),
+        )
+        .withWatermark("b_t", "1 hour")
+    )
+    joined = a.join(
+        b,
+        F.expr(
+            "user_id = b_user AND b_t > a_t"
+            f" AND b_t <= a_t + interval {lead}"
+        ),
+    ).select(
+        "user_id",
+        "src_event_id",
+        "dst_event_id",
+        F.unix_micros("a_t").alias("src_us"),
+        F.unix_micros("b_t").alias("dst_us"),
+        "dst_type",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

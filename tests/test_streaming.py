@@ -123,3 +123,36 @@ def test_streaming_sessionize_cross_batch_and_restart(spark, tmp_path):
         (1, start1, start1, 1),  # closed by the ts(1200+3*GAP_S) event
         (2, e_us, e_us, 1),  # closed by user 2's late event
     }
+
+
+def test_stream_interval_join_boundaries(spark, tmp_path):
+    """Pair semantics: strict lower bound (no self/equal-ts pairs),
+    CLOSED upper bound (exactly +10min matches), per-user isolation."""
+    import datetime as dt
+
+    from dpo_ocr_spark.streaming.stream import stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        (0, ts(0), 1, "click", 1.0, "{}"),
+        (1, ts(600), 1, "buy", 1.0, "{}"),     # exactly +10min -> match
+        (2, ts(601), 1, "buy", 1.0, "{}"),     # 601s from 0 -> no; 1s from 1 -> match
+        (3, ts(0), 2, "click", 1.0, "{}"),     # other user, same ts: no pair
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "src"))
+    stream_interval_join(
+        spark, str(tmp_path / "src"), str(tmp_path / "ckpt"), "t_ij"
+    )
+    got = {
+        (r.src_event_id, r.dst_event_id): r.dst_type
+        for r in spark.table("t_ij").collect()
+    }
+    assert got == {(0, 1): "buy", (1, 2): "buy"}
