@@ -463,6 +463,62 @@ FROM documents
 """
 
 
+# --- data-mixing weights per source --------------------------------------------
+
+MIX_LAMBDA_X10 = 3  # uniform-smoothing weight λ = 0.3 (×10 fixed point)
+
+
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for training-data mixing — the
+    Pile/DoReMi-lite step that turns raw per-domain token masses into a
+    smoothed sampling distribution: w_i = λ/n + (1−λ)·t_i/T (uniform-
+    interpolated proportional mixing; λ pulls tiny domains up and giant
+    crawl domains down).
+
+    Emitted ×1e6 fixed point via single-division integer arithmetic —
+    ``floor(1e6·(λ₁₀·T + (10−λ₁₀)·n·t_i) / (10·n·T))`` — exact in both
+    engines.  Scale: one groupBy(source) over a token-count scan; the
+    weight arithmetic joins against two scalar aggregates (driver-sized
+    broadcast).  Overflow headroom: numerator < 2^63 while
+    7·n·t_i·1e6 < 9.2e18, i.e. corpus token mass t_i ≲ 1.3e12/n per
+    source — beyond that use DECIMAL(38,0) in both engines (same
+    expression, wider type).
+    """
+    docs = _docs(spark, sf_dir)
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_words())).alias("tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("tokens").alias("t_total"), F.count("*").alias("n_sources")
+    )
+    lam = MIX_LAMBDA_X10
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.expr(
+            f"(1000000 * ({lam} * t_total + {10 - lam} * n_sources * tokens))"
+            " div (10 * n_sources * t_total)"
+        ).alias("weight_x1e6"),
+    )
+
+
+DOMAIN_MIX_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(len({_WS_SQL})) AS tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(tokens) AS t_total, COUNT(*) AS n_sources FROM per_src
+)
+SELECT source, n_docs, tokens,
+       (1000000 * ({MIX_LAMBDA_X10} * t_total
+                   + {10 - MIX_LAMBDA_X10} * n_sources * tokens))
+         // (10 * n_sources * t_total) AS weight_x1e6
+FROM per_src, tot
+"""
+
+
 # --- corpus-trained bigram LM fluency score -----------------------------------
 
 LM_SCALE = 1_000_000  # likelihood fixed-point scale (integer-exact gate)

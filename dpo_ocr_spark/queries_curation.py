@@ -64,6 +64,7 @@ _register("training_order", C.training_order, C.TRAINING_ORDER_ORACLE)
 _register("semantic_prune", semantic_prune, SEMANTIC_PRUNE_ORACLE)
 _register("tfidf_top_terms", C.tfidf_top_terms, C.TFIDF_ORACLE)
 _register("lm_bigram_score", C.lm_bigram_score, C.LM_BIGRAM_ORACLE)
+_register("domain_mix", C.domain_mix, C.DOMAIN_MIX_ORACLE)
 _register(
     "streaming_window_counts", _q_streaming_window_counts, STREAM_WINDOW_ORACLE
 )

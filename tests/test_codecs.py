@@ -185,3 +185,50 @@ def test_decode_stub_images_real_audio_not():
     assert decode_stub(encode_png(img)).shape == (6, 6, 3)
     with pytest.raises(NotImplementedError):
         decode_stub(b"RIFF....WAVE")
+
+
+# --- property-based (hypothesis) -------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31),
+)
+def test_png_roundtrip_any_shape(h, w, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    quality=st.integers(30, 95),
+    mode=st.sampled_from(["444", "422", "420"]),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg_decode_total_on_own_encoder(h, w, quality, mode, seed):
+    """decode(encode(x)) must never raise and must keep the shape, for
+    any dims (incl. 1x1 with 4:2:0 MCU padding) and quality."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality, mode))
+    assert dec.shape == (h, w, 3)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_decoders_raise_cleanly_on_garbage(data):
+    """Arbitrary bytes (incl. valid-magic prefixes) must raise a clean
+    error, never hang or segfault.  IndexError/struct.error count as
+    clean truncation errors; zlib.error for corrupt IDAT."""
+    for prefix in (b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8"):
+        try:
+            decode_image(prefix + data)
+        except (ValueError, IndexError, struct.error, zlib.error, KeyError):
+            pass

@@ -641,3 +641,27 @@ def test_lm_bigram_score_crafted(spark, tmp_path):
     # now 'the'->rare-word transitions dilute: doc 7 scores well below
     # the dominant-phrase docs
     assert got2[7].fluency_x1e6 < got2[0].fluency_x1e6
+
+
+def test_domain_mix_weights(spark, tmp_path):
+    """Uniform smoothing: weights sum to ~1e6, a zero-token source still
+    gets λ/n, and a dominant source is pulled below its raw share."""
+    from dpo_ocr_spark.ops.curation import domain_mix
+
+    docs = [
+        (0, "a " * 90, "big"),   # 90% of tokens (split yields 91 incl. trailing)
+        (1, "b c d e f", "mid"),
+        (2, "", "tiny"),
+    ]
+    spark.createDataFrame(
+        [(i, t.strip(), "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.source: r for r in domain_mix(spark, str(tmp_path)).collect()}
+    total = sum(r.weight_x1e6 for r in got.values())
+    assert abs(total - 1_000_000) <= 3  # flooring slack
+    raw_big = got["big"].tokens * 1_000_000 // sum(
+        r.tokens for r in got.values()
+    )
+    assert got["big"].weight_x1e6 < raw_big  # smoothed DOWN
+    assert got["tiny"].weight_x1e6 >= 100_000 - 1  # ≥ λ/n = 0.3/3
