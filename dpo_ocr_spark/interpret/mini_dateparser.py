@@ -20,6 +20,9 @@ deterministically (no locale, no current-time dependence except an explicit
   (accent-folded variants included) — the slice of dateparser's wider
   format/locale surface real corpora hit (format matrix pinned in
   tests/test_interpret.py::test_dateparser_format_matrix);
+- connector words dropped ("5 de mayo de 2021", "the 3rd of May 2021"),
+  fused YYYYMMDD, and ISO time suffixes ("2021-01-05T10:30:00") — r3
+  widening, still fully deterministic;
 - returns (year, month, day) or None.
 """
 
@@ -68,6 +71,17 @@ MONTHS = {**_LOCALE_MONTHS, **MONTHS}  # English wins any residual overlap
 
 _SPLIT = re.compile(r"[\s\-/,.]+")
 
+# dateparser drops connector words between date parts ("5 de mayo de
+# 2021", "the 3rd of May 2021"); the unambiguous multi-locale set —
+# none of these collide with a month name or number
+_CONNECTORS = frozenset(
+    ["de", "del", "of", "the", "den", "le", "el", "di", "am", "на"]
+)
+
+# ISO-ish time suffix ("2021-01-05T10:30:00", "2021-01-05 10:30") —
+# dateparser parses the date part; strip the time before tokenizing
+_TIME_SUFFIX = re.compile(r"[T ]\d{1,2}:\d{2}(:\d{2})?(\.\d+)?Z?$")
+
 # dateparser accepts ordinal day tokens ("3rd", "21st"); digits + suffix
 _ORDINAL = re.compile(r"^(\d+)(st|nd|rd|th)$", re.IGNORECASE)
 
@@ -82,10 +96,17 @@ def parse(text: str, date_order: str) -> tuple[int, int, int] | None:
     """Parse per DATE_ORDER; None when no (month, year) interpretation."""
     raw = [
         t2
-        for t in _SPLIT.split(text.strip())
+        for t in _SPLIT.split(_TIME_SUFFIX.sub("", text.strip()))
         for t2 in (re.sub(r"^\W+|\W+$", "", t),)  # dateparser-style leniency
-        if t2
+        if t2 and t2.lower() not in _CONNECTORS
     ]
+    # fused YYYYMMDD (archive/filename form) — dateparser accepts it for
+    # every DATE_ORDER (the 4-digit year anchors the layout)
+    if len(raw) == 1 and raw[0].isdigit() and len(raw[0]) == 8:
+        y, m, d = int(raw[0][:4]), int(raw[0][4:6]), int(raw[0][6:])
+        if 1000 <= y <= 2999 and 1 <= m <= 12 and _valid_day(d, m):
+            return (y, m, d)
+        return None
     if not raw or len(raw) > 3:
         return None
     month_name: int | None = None

@@ -216,6 +216,16 @@ _MATRIX = [
     # two explicit day ordinals leave no year slot -> refuse
     ("3rd 4th May", {"DMY": None, "YMD": None, "MDY": None}),
     ("May 3rd 21st", {"DMY": None}),
+    # r3 widening: connector words, fused YYYYMMDD, ISO time suffix
+    ("5 de mayo de 2021", {"DMY": (2021, 5, 5)}),
+    ("the 3rd of May 2021", {"DMY": (2021, 5, 3), "MDY": (2021, 5, 3)}),
+    ("le 14 juillet 1789", {"DMY": (1789, 7, 14)}),
+    ("20210105", {"DMY": (2021, 1, 5), "YMD": (2021, 1, 5), "MDY": (2021, 1, 5)}),
+    ("19231340", {"DMY": None}),  # fused but month 13 -> refuse
+    ("12345", {"DMY": None}),  # 5/8-digit mismatch stays refused
+    ("2021-01-05T10:30:00", {"YMD": (2021, 1, 5)}),
+    ("2021-01-05 10:30", {"YMD": (2021, 1, 5)}),
+    ("1923-05-03T23:59:59.123Z", {"YMD": (1923, 5, 3)}),
 ]
 
 
