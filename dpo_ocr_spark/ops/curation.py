@@ -463,6 +463,96 @@ FROM documents
 """
 
 
+# --- crawl URL filtering --------------------------------------------------------
+
+URL_BLOCK_HOSTS = ("host-3.example.org", "host-7.example.org")
+_BAD_EXT = r"\.(exe|zip|apk)$"
+_BAD_PATH = r"/(casino|warez)/"
+
+
+def url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL filtering — the C4/RefinedWeb pre-download
+    gate: drop blocklisted hosts (broadcast anti-list), non-http(s)
+    schemes, binary-download extensions and spam path segments.
+
+    URLs are synthesized deterministically messy from doc_id (residue
+    toggles inject each defect class) so the oracle can rebuild the SAME
+    strings and re-run the SAME regex/host checks in SQL — the parity is
+    on the filtering logic, not just the toggle arithmetic.  The host
+    blocklist is a tiny broadcast dim (real lists are ~1e5 rows — still
+    broadcast-sized); everything else is zero-shuffle JVM regex."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 23 == 0, F.lit("ftp://")).otherwise(F.lit("https://")),
+        F.lit("host-"),
+        (d % 20).cast("string"),
+        F.lit(".example.org"),
+        F.when(d % 17 == 0, F.lit("/casino")).otherwise(F.lit("")),
+        F.lit("/doc/"),
+        d.cast("string"),
+        F.when(d % 17 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit(".zip")).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", url.alias("url")).select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
+        (~F.col("url").rlike(r"^https?://")).alias("bad_scheme"),
+        F.col("url").rlike(_BAD_EXT).alias("bad_ext"),
+        F.col("url").rlike(_BAD_PATH).alias("bad_path"),
+    )
+    block = spark.createDataFrame(
+        [(h,) for h in URL_BLOCK_HOSTS], "bhost string"
+    )
+    return (
+        base.join(
+            F.broadcast(block), base.host == block.bhost, "left"
+        )
+        .select(
+            "doc_id",
+            "url",
+            "bad_scheme",
+            F.col("bhost").isNotNull().alias("bad_domain"),
+            "bad_ext",
+            "bad_path",
+            (
+                ~F.col("bad_scheme")
+                & F.col("bhost").isNull()
+                & ~F.col("bad_ext")
+                & ~F.col("bad_path")
+            ).alias("keep"),
+        )
+    )
+
+
+URL_FILTER_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 23 = 0 THEN 'ftp://' ELSE 'https://' END
+          || 'host-' || CAST(doc_id % 20 AS VARCHAR) || '.example.org'
+          || CASE WHEN doc_id % 17 = 0 THEN '/casino' ELSE '' END
+          || '/doc/' || CAST(doc_id AS VARCHAR)
+          || CASE WHEN doc_id % 17 = 0 THEN '/' ELSE '' END
+          || CASE WHEN doc_id % 13 = 0 THEN '.zip' ELSE '' END) AS url
+  FROM documents
+), b AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         NOT regexp_matches(url, '^https?://') AS bad_scheme,
+         regexp_matches(url, '{_BAD_EXT}') AS bad_ext,
+         regexp_matches(url, '{_BAD_PATH}') AS bad_path
+  FROM u
+)
+SELECT doc_id, url, bad_scheme,
+       host IN {URL_BLOCK_HOSTS!r} AS bad_domain,
+       bad_ext, bad_path,
+       (NOT bad_scheme AND host NOT IN {URL_BLOCK_HOSTS!r}
+        AND NOT bad_ext AND NOT bad_path) AS keep
+FROM b
+"""
+
+
 # --- data-mixing weights per source --------------------------------------------
 
 MIX_LAMBDA_X10 = 3  # uniform-smoothing weight λ = 0.3 (×10 fixed point)

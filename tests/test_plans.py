@@ -90,3 +90,20 @@ def test_cc_loop_lineage_truncated(spark):
     plan = _plan(df)
     n_exchanges = plan.count("Exchange")
     assert n_exchanges < 50, f"{n_exchanges} Exchanges — lineage not truncated"
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """Results written partitionBy(lang) must scan ONLY the filtered
+    partition on read — PartitionFilters at the source, other-language
+    files never opened.  This is the scan-pruning lever the 100 TB
+    curated-output layout depends on (partition by lang/crawl-date)."""
+    docs = spark.read.parquet(f"{SD}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    out = str(tmp_path / "by_lang")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(out)
+    df = spark.read.parquet(out).filter("lang = 'en'")
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
+    n_en = docs.filter("lang = 'en'").count()
+    assert df.count() == n_en
