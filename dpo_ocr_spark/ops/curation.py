@@ -463,6 +463,66 @@ FROM documents
 """
 
 
+# --- token-window document chunking --------------------------------------------
+
+CHUNK_TOKENS = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # start-to-start distance (=> 16-token overlap)
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the embedding/RAG prep step:
+    each document becomes ceil-strided windows of CHUNK_TOKENS words with
+    CHUNK_TOKENS−CHUNK_STRIDE overlap; the final window is the last
+    stride whose start is still inside the doc, so every token is
+    covered and short docs yield exactly one chunk.
+
+    Pure in-row array work (sequence → transform → posexplode): ZERO
+    shuffles at any corpus size; chunk boundaries are word-index
+    arithmetic, so the oracle rebuilds text slices exactly.  Emits
+    (doc_id, chunk_id, start_tok, n_tokens, chunk_text)."""
+    docs = _docs(spark, sf_dir)
+    w = _words()
+    starts = F.expr(
+        f"transform(sequence(0, greatest(cast(ceil((size(w) - {CHUNK_TOKENS})"
+        f" / {CHUNK_STRIDE}.0) as int), 0)), i -> i * {CHUNK_STRIDE})"
+    )
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .select("doc_id", "w", F.posexplode(starts).alias("chunk_id", "start_tok"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_tok",
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size("w") - F.col("start_tok")
+            ).alias("n_tokens"),
+            F.array_join(
+                F.slice("w", F.col("start_tok") + 1, F.lit(CHUNK_TOKENS)), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+CHUNK_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, {_WS_SQL} AS w FROM documents
+), st AS (
+  SELECT doc_id, w,
+         unnest(range(0, greatest(CAST(ceil((len(w) - {CHUNK_TOKENS})
+                                  / {CHUNK_STRIDE}.0) AS INT), 0) + 1))
+           AS chunk_id
+  FROM ws
+)
+SELECT doc_id, chunk_id,
+       chunk_id * {CHUNK_STRIDE} AS start_tok,
+       least({CHUNK_TOKENS}, len(w) - chunk_id * {CHUNK_STRIDE}) AS n_tokens,
+       array_to_string(
+         w[chunk_id * {CHUNK_STRIDE} + 1 :
+           chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text
+FROM st
+"""
+
+
 # --- crawl URL filtering --------------------------------------------------------
 
 URL_BLOCK_HOSTS = ("host-3.example.org", "host-7.example.org")

@@ -66,6 +66,7 @@ _register("tfidf_top_terms", C.tfidf_top_terms, C.TFIDF_ORACLE)
 _register("lm_bigram_score", C.lm_bigram_score, C.LM_BIGRAM_ORACLE)
 _register("domain_mix", C.domain_mix, C.DOMAIN_MIX_ORACLE)
 _register("url_filter", C.url_filter, C.URL_FILTER_ORACLE)
+_register("chunk_documents", C.chunk_documents, C.CHUNK_ORACLE)
 _register(
     "streaming_window_counts", _q_streaming_window_counts, STREAM_WINDOW_ORACLE
 )

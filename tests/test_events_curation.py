@@ -665,3 +665,36 @@ def test_domain_mix_weights(spark, tmp_path):
     )
     assert got["big"].weight_x1e6 < raw_big  # smoothed DOWN
     assert got["tiny"].weight_x1e6 >= 100_000 - 1  # ≥ λ/n = 0.3/3
+
+
+def test_chunk_documents_coverage_and_overlap(spark, tmp_path):
+    """Every token covered, overlap = CHUNK_TOKENS - CHUNK_STRIDE, short
+    docs yield exactly one chunk, boundaries exact."""
+    from dpo_ocr_spark.ops.curation import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+
+    words_a = [f"w{i}" for i in range(150)]  # 3 chunks: 0,48,96
+    docs = [(0, " ".join(words_a)), (1, "short doc"), (2, "x " * 64)]
+    spark.createDataFrame(
+        [(i, t.strip(), "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = chunk_documents(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    a = sorted(by_doc[0], key=lambda r: r.chunk_id)
+    assert [r.start_tok for r in a] == [0, 48, 96]
+    assert [r.n_tokens for r in a] == [64, 64, 54]
+    assert a[0].chunk_text.split() == words_a[:64]
+    assert a[2].chunk_text.split() == words_a[96:150]
+    # overlap: tail of chunk 0 == head of chunk 1
+    ov = CHUNK_TOKENS - CHUNK_STRIDE
+    assert a[0].chunk_text.split()[-ov:] == a[1].chunk_text.split()[:ov]
+    [b] = by_doc[1]
+    assert (b.start_tok, b.n_tokens, b.chunk_text) == (0, 2, "short doc")
+    [c] = by_doc[2]  # exactly CHUNK_TOKENS tokens -> one full chunk
+    assert (c.start_tok, c.n_tokens) == (0, 64)
