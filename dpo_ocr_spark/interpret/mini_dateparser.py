@@ -78,9 +78,15 @@ _CONNECTORS = frozenset(
     ["de", "del", "of", "the", "den", "le", "el", "di", "am", "на"]
 )
 
-# ISO-ish time suffix ("2021-01-05T10:30:00", "2021-01-05 10:30") —
-# dateparser parses the date part; strip the time before tokenizing
-_TIME_SUFFIX = re.compile(r"[T ]\d{1,2}:\d{2}(:\d{2})?(\.\d+)?Z?$")
+# ISO datetime ("2021-01-05T10:30:00", "2021-01-05 10:30"): keep the
+# date part, drop the time.  Anchored on a FULL ISO date prefix so
+# non-ISO strings with trailing times ("May 3 12:30") are untouched —
+# stripping those would leave "May 3" and misread the day as a 2-digit
+# year (found in review; dateparser reads day=3 there, so refusing the
+# whole string is the safe subset behavior).
+_ISO_DATETIME = re.compile(
+    r"^(\d{4}-\d{2}-\d{2})[T ]\d{1,2}:\d{2}(:\d{2})?(\.\d+)?Z?$"
+)
 
 # dateparser accepts ordinal day tokens ("3rd", "21st"); digits + suffix
 _ORDINAL = re.compile(r"^(\d+)(st|nd|rd|th)$", re.IGNORECASE)
@@ -94,9 +100,13 @@ def _valid_day(day: int, month: int) -> bool:
 
 def parse(text: str, date_order: str) -> tuple[int, int, int] | None:
     """Parse per DATE_ORDER; None when no (month, year) interpretation."""
+    stripped = text.strip()
+    iso = _ISO_DATETIME.match(stripped)
+    if iso:
+        stripped = iso.group(1)
     raw = [
         t2
-        for t in _SPLIT.split(_TIME_SUFFIX.sub("", text.strip()))
+        for t in _SPLIT.split(stripped)
         for t2 in (re.sub(r"^\W+|\W+$", "", t),)  # dateparser-style leniency
         if t2 and t2.lower() not in _CONNECTORS
     ]

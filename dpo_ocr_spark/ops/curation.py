@@ -109,7 +109,7 @@ def decontaminate(
 
 
 _WS_SQL = (
-    "regexp_split_to_array(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
+    "regexp_split_to_array(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ')"
 )
 
 DECONTAMINATE_ORACLE = f"""

@@ -361,8 +361,10 @@ def simhash_tokens(text: str | None) -> list[str]:
     """The simhash tokenization contract, shared by kernel and tests:
     lowercase, then split on ASCII whitespace ONLY.  Deliberately NOT
     ``str.split()`` (which also splits on Unicode whitespace like U+00A0)
-    so the DuckDB oracle's RE2 ``\\s+`` — ASCII-only — tokenizes
-    identically on any corpus."""
+    so the DuckDB oracle tokenizes identically on any corpus; the oracle
+    spells the set as the explicit class ``[ \\t\\n\\x0b\\f\\r]+``
+    because RE2's ``\\s`` lacks vertical tab while Java's and Python's
+    include it (r3 review finding)."""
     return [w for w in _WS_SPLIT.split((text or "").lower()) if w]
 
 

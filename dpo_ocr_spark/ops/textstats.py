@@ -29,7 +29,10 @@ STOPWORDS = {
 # BPE-ish subword pieces: alternating letter-digit boundaries, word pieces
 # of ≤4 chars — a cheap deterministic stand-in for a real tokenizer's
 # piece count (regexp only, stays in codegen)
-SUBWORD_REGEX = r"[a-z]{1,4}|[A-Z][a-z]{0,3}|\d{1,4}|[^\sa-zA-Z0-9]"
+# NOTE: whitespace is the explicit class, not \s — Java's \s includes
+# vertical tab, RE2's does not, and this constant is interpolated into
+# BOTH engines' regexes (r3 review finding)
+SUBWORD_REGEX = r"[a-z]{1,4}|[A-Z][a-z]{0,3}|\d{1,4}|[^ \t\n\x0b\f\ra-zA-Z0-9]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,7 +61,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.col("text"), r"\s+")
     en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     n_words = F.size(words)
-    n_punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]+", ""))
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9 \t\n\x0b\f\r]+", ""))
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(en, w)))
     return docs.select(
         "doc_id",

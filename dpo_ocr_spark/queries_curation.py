@@ -173,7 +173,7 @@ def _incremental_dedup_oracle() -> str:
 WITH {_SH_CTE},
 fps AS (
   SELECT doc_id,
-         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+         md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp,
          doc_id % {m} = 0 AS b
   FROM documents
 ), exact AS (
@@ -304,9 +304,9 @@ def _cluster_reps_oracle() -> str:
 WITH cl AS ({clusters_sql}),
 q AS (
   SELECT doc_id,
-         CAST(floor(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         CAST(floor(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
                     w -> list_contains({_STOP_EN}, w))) * 1000
-                    / len(regexp_split_to_array(text, '\\s+')))
+                    / len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')))
               AS BIGINT) AS quality_x1000
   FROM documents
 ), rk AS (

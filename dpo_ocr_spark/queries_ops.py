@@ -25,7 +25,7 @@ _WS_CTE = r"""
 ws AS (
   SELECT doc_id,
          regexp_split_to_array(
-           regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS w
+           regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'), ' ') AS w
   FROM documents
 )
 """
@@ -116,7 +116,7 @@ def _lang_scores_sql() -> str:
         lst = "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
         parts.append(
             f"len(list_intersect(list_distinct(regexp_split_to_array("
-            f"lower(text), '\\s+')), {lst})) AS s_{lang}"
+            f"lower(text), '[ \\t\\n\\x0b\\f\\r]+')), {lst})) AS s_{lang}"
         )
     return ", ".join(parts)
 
@@ -134,7 +134,7 @@ _register(
     TS.token_counts,
     f"""
 SELECT doc_id,
-       len(regexp_split_to_array(text, '\\s+')) AS n_words,
+       len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS n_words,
        len(regexp_extract_all(text, '{SUBWORD_REGEX}')) AS n_subwords,
        length(text) AS n_chars
 FROM documents
@@ -146,17 +146,17 @@ _register(
     TS.quality_scores,
     f"""
 SELECT doc_id,
-       len(regexp_split_to_array(text, '\\s+')) AS n_words,
-       CAST(floor(length(regexp_replace(text, '[a-zA-Z0-9\\s]+', '', 'g'))
+       len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS n_words,
+       CAST(floor(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0b\\f\\r]+', '', 'g'))
                   * 1000 / length(text)) AS BIGINT) AS punct_ratio_x1000,
-       CAST(floor(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       CAST(floor(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
                   w -> list_contains({_STOP_EN}, w)))
-                  * 1000 / len(regexp_split_to_array(text, '\\s+')))
+                  * 1000 / len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')))
             AS BIGINT) AS stopword_ratio_x1000,
        (length(text) >= 100 AND
-        len(list_filter(regexp_split_to_array(text, '\\s+'),
+        len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
             w -> list_contains({_STOP_EN}, w))) * 1000
-          / len(regexp_split_to_array(text, '\\s+')) >= 10) AS keep
+          / len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) >= 10) AS keep
 FROM documents
 """,
 )
@@ -182,7 +182,7 @@ FROM s
 """,
 )
 
-_NORM_SQL = r"regexp_replace(lower(text), '\s+', ' ', 'g')"
+_NORM_SQL = r"regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')"
 
 _register(
     "fingerprints",
@@ -237,12 +237,12 @@ _register(
 WITH k AS (
   SELECT doc_id,
          doc_id = MIN(doc_id) OVER (
-           PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+           PARTITION BY md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
          ) AS is_keeper,
          length(text) AS n_chars,
-         CAST(floor(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         CAST(floor(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
                     w -> list_contains({_STOP_EN}, w))) * 1000
-                    / len(regexp_split_to_array(text, '\\s+')))
+                    / len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')))
               AS BIGINT) AS swr,
          lang AS labeled_lang,
          {_lang_scores_sql()}
@@ -282,8 +282,8 @@ _register(
     TS.shard_packing,
     f"""
 SELECT doc_id, lang,
-       len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
-       CAST(floor(COALESCE(SUM(len(regexp_split_to_array(text, '\\s+')))
+       len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
+       CAST(floor(COALESCE(SUM(len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')))
               OVER (PARTITION BY lang ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             / {TS.SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_id
@@ -297,7 +297,7 @@ _register(
     "exact_dedup",
     D.exact_dedup,
     r"""
-SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+SELECT md5(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp,
        MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
 FROM documents GROUP BY 1
 """,
@@ -773,7 +773,7 @@ _register(
     rf"""
 WITH w AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+         unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+'),
                             x -> x != '')) AS word
   FROM documents
 ),

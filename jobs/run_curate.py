@@ -25,7 +25,6 @@ byte-identical shards.
 from __future__ import annotations
 
 import argparse
-import os
 
 
 def main() -> int:
@@ -35,18 +34,29 @@ def main() -> int:
     p.add_argument("--audit", default=None)
     args = p.parse_args()
 
+    from pyspark.sql import functions as F
     from pyspark.sql import SparkSession
 
-    from dpo_ocr_spark.ops.curation import curated_training_set
+    from dpo_ocr_spark.ops.curation import curated_training_set, order_frame
     from dpo_ocr_spark.ops.textstats import curation_verdict
 
     spark = SparkSession.builder.getOrCreate()  # conf from spark-submit
     sf_dir = args.input
     if args.audit:
+        # compute the verdict ONCE: write the audit, then derive the
+        # keepers from the written parquet instead of re-running the
+        # expensive dedup stage inside curated_training_set
         curation_verdict(spark, sf_dir).write.mode("overwrite").parquet(
             args.audit
         )
-    curated = curated_training_set(spark, sf_dir)
+        kept = (
+            spark.read.parquet(args.audit)
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        curated = order_frame(kept)
+    else:
+        curated = curated_training_set(spark, sf_dir)
     # one file per shard: the training loader streams shards sequentially
     curated.repartition("shard").sortWithinPartitions(
         "shard", "pos"

@@ -226,6 +226,11 @@ _MATRIX = [
     ("2021-01-05T10:30:00", {"YMD": (2021, 1, 5)}),
     ("2021-01-05 10:30", {"YMD": (2021, 1, 5)}),
     ("1923-05-03T23:59:59.123Z", {"YMD": (1923, 5, 3)}),
+    # time stripping is ISO-anchored ONLY: a trailing time on a non-ISO
+    # form must refuse, never misread the day as a 2-digit year
+    # (regression found in review: 'May 3 12:30' parsed to (2003, 5, 1))
+    ("May 3 12:30", {"MDY": None, "DMY": None}),
+    ("3 May 12:30", {"DMY": None}),
 ]
 
 

@@ -344,3 +344,42 @@ def test_shard_packing_budget_property(spark):
         for d in docs:
             assert d.shard_id == run // SHARD_TOKEN_BUDGET
             run += d.n_tokens
+
+
+def test_vertical_tab_corpus_oracle_green(spark, tmp_path):
+    """Java/Python \\s includes vertical tab (\\x0b); RE2's does not.  The
+    oracles spell the explicit class [ \\t\\n\\x0b\\f\\r]+ so a corpus with
+    \\v and \\f still hash-matches across engines (r3 review finding) —
+    pinned here for a representative slice of the token-based queries."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    texts = [
+        (1, "alpha\x0bbeta gamma"),          # vertical tab between words
+        (2, "one\ftwo\vthree  four"),        # form feed + vt + double space
+        (3, "plain words only here"),
+        (4, "alpha\x0bbeta gamma"),          # exact dup of 1 after norm
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    qs, oracles = E.queries(), E.oracle_sql()
+    for name in ("token_counts", "simhash", "exact_dedup", "chunk_documents",
+                 "lm_bigram_score"):
+        got = sorted(
+            tuple(r) for r in qs[name](spark, str(tmp_path)).collect()
+        )
+        want = sorted(tuple(r) for r in con.execute(oracles[name]).fetchall())
+        assert got == want, f"{name}: {got[:3]} != {want[:3]}"
+    # the \v doc tokenizes to 3 words in BOTH engines (not 1, not 2)
+    tc = {r.doc_id: r.n_words
+          for r in qs["token_counts"](spark, str(tmp_path)).collect()}
+    assert tc[1] == 3
