@@ -152,6 +152,9 @@ HEADLINE = [
 def main() -> int:
     if "--scaling" in sys.argv:
         return scaling_main()
+    # measure the full per-query pipeline, not the gate's shared-stage
+    # memo — keeps timings comparable round-over-round
+    os.environ.setdefault("SPARK_GRAFT_STAGE_CACHE", "0")
     from dpo_ocr_spark.session import get_spark
 
     import __spark_entry__ as E

@@ -28,33 +28,72 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 SIZES = [0.05, 0.1, 0.2, 0.3, 0.4, 0.5]
 
 
+# the 8 scored golden fields (ui/app_ento.R:552, 639; the golden table
+# database/transcription_ento.sql:1-18 carries them all)
+GOLDEN_FIELDS = [
+    "collector", "verbatim_date", "verbatim_locality", "country",
+    "state_territory", "district_county", "precise_locality", "elevation",
+]
+
+
 def golden_transcription(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Known-truth golden per label url (wide form, like the ento table)."""
+    """Known-truth golden per label url (wide form, like the ento table,
+    database/transcription_ento.sql:1-18).  The locality family derives
+    from the synthetic GADM mapping (country := initcap(region),
+    state := initcap(nation), county := fixed list by k%10) — the same
+    generation truth the block fixture (labels.ento_blocks) renders."""
+    from ..interpret.dims import _COUNTIES
+    from ..interpret.labels import PRECISE_TAILS
+
     orders = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .filter(F.col("o_orderkey") % 100 == 0)
     )
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    o = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    k = F.col("o_orderkey")
+    # k/100-indexed (labels are multiples of 100 — k % 10/5 is degenerate)
+    county = F.element_at(
+        F.array(*[F.lit(c) for c in _COUNTIES]),
+        ((k / 100) % 10 + 1).cast("int"),
+    )
+    tail = F.element_at(
+        F.array(*[F.lit(t) for t in PRECISE_TAILS]),
+        ((k / 100) % 5 + 1).cast("int"),
+    )
     return o.select(
-        F.concat(F.lit("label://"), F.col("o_orderkey")).alias("url"),
-        F.col("o_orderkey").alias("k"),
+        F.concat(F.lit("label://"), k).alias("url"),
+        k.alias("k"),
         F.col("c_name").alias("collector"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("verbatim_date"),
-        F.concat(
-            ((F.col("o_orderkey") % 40) * 100 + 100).cast("string"), F.lit("'")
-        ).alias("elevation"),
+        F.concat(county, F.lit(" Co., "), F.initcap("n_name")).alias(
+            "verbatim_locality"
+        ),
+        F.initcap("r_name").alias("country"),
+        F.initcap("n_name").alias("state_territory"),
+        county.alias("district_county"),
+        tail.alias("precise_locality"),
+        F.concat(((k % 40) * 100 + 100).cast("string"), F.lit("'")).alias(
+            "elevation"
+        ),
     )
 
 
 def golden_long(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U2 unpivot: wide golden → (url, field, data) long form."""
+    """U2 unpivot: wide golden → (url, field, data) long form — the
+    8-field union of auto_id_compare.py:58-200."""
     g = golden_transcription(spark, sf_dir)
+    stack_args = ", ".join(f"'{f}', {f}" for f in GOLDEN_FIELDS)
     return g.select(
         "url",
         F.expr(
-            "stack(3, 'collector', collector, 'verbatim_date', verbatim_date,"
-            " 'elevation', elevation) AS (field, data)"
+            f"stack({len(GOLDEN_FIELDS)}, {stack_args}) AS (field, data)"
         ),
     ).filter(F.col("data").isNotNull())
 

@@ -144,6 +144,64 @@ def json_response_sink(extracted: DataFrame, path: str) -> None:
     ).write.mode("overwrite").text(path)
 
 
+def form_fields(tokens: DataFrame, split_x: int = 320) -> DataFrame:
+    """Document-AI form-field (key-value) extraction
+    (ML/google_documentai/run_docai.py:130-145): per page, pairs of
+    (field_name, field_confidence, value, value_confidence) — the
+    reference walks ``page.form_fields`` of the Document-AI response and
+    writes ``document|page|field_name|field_conf|value|value_conf`` rows.
+
+    Spark-first form: the layout doc tree already carries the two-column
+    ledger geometry (left cell = label, right cell = value — the same
+    split the zone template models, zones.py SPLIT_X), so key-value
+    detection is a single conditional aggregation per (url, page, line):
+    words entirely left of the split are the field name, words entirely
+    right of it the value; a pair is emitted when both sides are
+    non-empty.  One shuffle, map-side partial agg, no Python.
+
+    Confidences are the per-side mean word confidence, computed from the
+    exact integer conf sum (sum_x100 / (100·n)) so the DuckDB oracle
+    divides the identical integers."""
+    t = tokens.filter(F.col("bbox").isNotNull()).select(
+        "url", "page", F.col("block").alias("line"),
+        "word", "word_text",
+        F.round(F.col("confidence") * 100).cast("long").alias("cx"),
+        F.element_at("bbox", 1).alias("wx0"),
+        F.element_at("bbox", 5).alias("wx2"),
+    )
+    # zonal containment semantics (zones.zonal_data): half-open on x —
+    # a word straddling the split belongs to neither side
+    is_field = F.col("wx2") < split_x
+    is_value = F.col("wx0") >= split_x
+
+    def side_text(cond: F.Column) -> F.Column:
+        arr = F.array_sort(
+            F.collect_list(F.when(cond, F.struct("word", "word_text")))
+        )
+        return F.concat_ws(" ", F.transform(arr, lambda s: s["word_text"]))
+
+    g = t.groupBy("url", "page", "line").agg(
+        side_text(is_field).alias("field_name"),
+        F.sum(F.when(is_field, F.col("cx"))).alias("fs"),
+        F.count(F.when(is_field, 1)).alias("fn"),
+        side_text(is_value).alias("value"),
+        F.sum(F.when(is_value, F.col("cx"))).alias("vs"),
+        F.count(F.when(is_value, 1)).alias("vn"),
+    )
+    return g.filter((F.col("fn") > 0) & (F.col("vn") > 0)).select(
+        "url",
+        F.col("page").cast("int").alias("page"),
+        "field_name",
+        (F.col("fs").cast("double") / (100.0 * F.col("fn"))).alias(
+            "field_confidence"
+        ),
+        "value",
+        (F.col("vs").cast("double") / (100.0 * F.col("vn"))).alias(
+            "value_confidence"
+        ),
+    )
+
+
 def annotate_plan(
     tokens: DataFrame,
     line_width: int = 3,

@@ -53,11 +53,16 @@ AUTO_SIZES = ["0.05", "0.1", "0.2"]  # the sizes the reference loop runs
 INSERT_MIN = 180
 TOKEN_SET_MIN = 96
 GEO_MIN = 96
-FIELD_ORDER = ["collector", "verbatim_date", "elevation"]  # dict field order
+# dict field order = the 8-field UNION order of the reference's
+# query_transcription (auto_id_compare.py:58-200)
+FIELD_ORDER = [
+    "collector", "verbatim_date", "verbatim_locality", "country",
+    "state_territory", "district_county", "precise_locality", "elevation",
+]
 
 AUTO_SCHEMA = (
     "url string, reference_size string, field string, value string, "
-    "stage string, block int"
+    "stage string, pass_no int, block int"
 )
 
 # the reference's (ineffective) alpha scrub — kept verbatim
@@ -153,29 +158,13 @@ def _ref_dictionaries(
     return dicts
 
 
-def auto_match(
-    spark: SparkSession,
-    sf_dir: str,
-    blocks: DataFrame | None = None,
-    sizes: list[str] | None = None,
+def _test_blocks(
+    spark: SparkSession, sf_dir: str, blocks: DataFrame, sizes: list[str]
 ) -> DataFrame:
-    """The auto table (long form): one row per (url, size, field) upsert."""
+    """blocks × their test-split sizes (broadcast dim join)."""
     from ..eval.harness import splits
-    from .labels import auto_blocks
 
-    sizes = sizes or AUTO_SIZES
-    if blocks is None:
-        blocks = auto_blocks(spark, sf_dir)
-    dicts = _ref_dictionaries(spark, sf_dir, sizes)
-    gazetteer = sorted(
-        r[0]
-        for r in spark.read.parquet(f"{sf_dir}/nation.parquet")
-        .select("n_name")
-        .distinct()
-        .collect()
-    )
-    bc = spark.sparkContext.broadcast((dicts, gazetteer))
-    work = blocks.join(
+    return blocks.join(
         F.broadcast(
             splits(spark, sf_dir).filter(
                 (F.col("ref_or_test") == "test")
@@ -185,7 +174,61 @@ def auto_match(
         "url",
     )
 
-    cols = ["url", "reference_size", "field", "value", "stage", "block"]
+
+_COLS = ["url", "reference_size", "field", "value", "stage", "pass_no", "block"]
+
+
+def _typed_empty() -> pd.DataFrame:
+    # typed empty frame: all-NA object int columns trip pandas'
+    # concat-dtype FutureWarning in the Arrow serializer
+    return pd.DataFrame(
+        {
+            c: pd.Series(
+                dtype="int64" if c in ("pass_no", "block") else object
+            )
+            for c in _COLS
+        }
+    )
+
+
+def _dedup_upserts(out: DataFrame) -> DataFrame:
+    """ON CONFLICT (filename, reference_size) DO UPDATE SET field → the
+    last writer wins per (url, size, field).  Write order is pinned as
+    (pass_no, block): each pass is a separate full loop over the test
+    blocks in the reference (cascade, then geo country, then the geo
+    state/county passes), blocks ascending within a pass."""
+    w = W.partitionBy("url", "reference_size", "field").orderBy(
+        F.col("pass_no").desc(), F.col("block").desc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "pass_no", "block")
+    )
+
+
+def _auto_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    blocks: DataFrame | None = None,
+    sizes: list[str] | None = None,
+) -> DataFrame:
+    """Pre-dedup upsert rows of the auto table: the 8-field dictionary
+    cascade (pass 0) + the active geo country pass (pass 1,
+    auto_id_compare.py:519-560 — the gazetteer is the gadm0/country
+    level, here the initcap region names)."""
+    from .dims import _gadm
+    from .labels import auto_blocks
+
+    sizes = sizes or AUTO_SIZES
+    if blocks is None:
+        blocks = auto_blocks(spark, sf_dir)
+    dicts = _ref_dictionaries(spark, sf_dir, sizes)
+    gazetteer = sorted(
+        r[0] for r in _gadm(spark, sf_dir).select("country").distinct().collect()
+    )
+    bc = spark.sparkContext.broadcast((dicts, gazetteer))
+    work = _test_blocks(spark, sf_dir, blocks, sizes)
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         d_all, gaz = bc.value
@@ -200,29 +243,108 @@ def auto_match(
                     (f_, by_field[f_]) for f_ in FIELD_ORDER if f_ in by_field
                 ]
                 for field, value, stage in cascade_rows(text, ordered, gaz):
-                    rows.append((url, size, field, value, stage, int(block)))
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
-            else:
-                # typed empty frame: an all-NA object 'block' column trips
-                # pandas' concat-dtype FutureWarning in the Arrow serializer
-                yield pd.DataFrame(
-                    {
-                        c: pd.Series(
-                            dtype="int64" if c == "block" else object
-                        )
-                        for c in cols
-                    }
-                )
+                    rows.append(
+                        (url, size, field, value, stage,
+                         1 if stage == "geo" else 0, int(block))
+                    )
+            yield pd.DataFrame(rows, columns=_COLS) if rows else _typed_empty()
 
-    out = work.mapInPandas(run, schema=AUTO_SCHEMA)
-    # ON CONFLICT (filename, reference_size) DO UPDATE SET field → the
-    # last-processed block wins per (url, size, field); block order pinned
-    w = W.partitionBy("url", "reference_size", "field").orderBy(
-        F.col("block").desc()
+    return work.mapInPandas(run, schema=AUTO_SCHEMA)
+
+
+def auto_match(
+    spark: SparkSession,
+    sf_dir: str,
+    blocks: DataFrame | None = None,
+    sizes: list[str] | None = None,
+) -> DataFrame:
+    """The auto table (long form): one row per (url, size, field) upsert."""
+    return _dedup_upserts(_auto_rows(spark, sf_dir, blocks, sizes))
+
+
+def auto_geo(
+    spark: SparkSession,
+    sf_dir: str,
+    blocks: DataFrame | None = None,
+    sizes: list[str] | None = None,
+) -> DataFrame:
+    """The ``ocr_transcription_ento_auto_geo`` analog: the auto table
+    (auto_id_compare.py:369: CREATE TABLE ..._geo AS SELECT * FROM auto)
+    plus the gadm1/state (pass 2) and gadm2/county (pass 3) geo passes.
+
+    Per the reference's geo-pass spec (auto_id_compare.py:601-637 state,
+    :685-720 county — present as commented-out pseudocode whose executable
+    SQL is placeholder-broken; we implement the documented intent and pin
+    the semantics here):
+    - candidates are scored with **case-sensitive** ``fuzz.ratio``
+      (match_state/match_county call it without ``.lower()``, unlike the
+      active country pass at :545);
+    - the argmax is ``nlargest(1, ['score2', 'string_len'])`` gated
+      strictly above ``geo_min``;
+    - the matched FIELD gets the **candidate text** (``res.iloc[0]['text']``
+      — unlike the country pass, which inserts the gazetteer *name*),
+      while the parent admin levels get the gazetteer row's **hierarchy
+      values** (state pass → country; county pass → state_territory +
+      country);
+    - tie-breaks follow the pinned dictionary order (name-sorted), pandas
+      keep='first'."""
+    from .dims import _gadm
+    from .labels import auto_blocks
+
+    sizes = sizes or AUTO_SIZES
+    if blocks is None:
+        blocks = auto_blocks(spark, sf_dir)
+    g = _gadm(spark, sf_dir)
+    states = sorted(
+        (r["state"], r["country"])
+        for r in g.select("state", "country").distinct().collect()
     )
-    return (
-        out.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "block")
+    counties = sorted(
+        (r["county"] + " Co., " + r["state"], r["state"], r["country"])
+        for r in g.select("county", "state", "country").distinct().collect()
     )
+    bc = spark.sparkContext.broadcast((states, counties))
+    work = _test_blocks(spark, sf_dir, blocks, sizes)
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states_l, counties_l = bc.value
+        for pdf in it:
+            rows: list[tuple[Any, ...]] = []
+            for url, size, block, text in zip(
+                pdf["url"], pdf["reference_size"], pdf["block"],
+                pdf["block_text"],
+            ):
+                cands = candidates_of(text)
+                if not cands:
+                    continue
+                # pass 2: state level
+                best = None  # (score2, slen, cand_text, country)
+                for cand, slen in cands:
+                    for name, country in states_l:
+                        s2 = ratio(cand, name)  # case-sensitive (quirk)
+                        if best is None or (s2, slen) > (best[0], best[1]):
+                            best = (s2, slen, cand, country)
+                if best is not None and best[0] > GEO_MIN:
+                    rows.append((url, size, "state_territory", best[2],
+                                 "geo_state", 2, int(block)))
+                    rows.append((url, size, "country", best[3],
+                                 "geo_state", 2, int(block)))
+                # pass 3: county level
+                best = None  # (score2, slen, cand_text, state, country)
+                for cand, slen in cands:
+                    for name, state, country in counties_l:
+                        s2 = ratio(cand, name)
+                        if best is None or (s2, slen) > (best[0], best[1]):
+                            best = (s2, slen, cand, state, country)
+                if best is not None and best[0] > GEO_MIN:
+                    rows.append((url, size, "district_county", best[2],
+                                 "geo_county", 3, int(block)))
+                    rows.append((url, size, "state_territory", best[3],
+                                 "geo_county", 3, int(block)))
+                    rows.append((url, size, "country", best[4],
+                                 "geo_county", 3, int(block)))
+            yield pd.DataFrame(rows, columns=_COLS) if rows else _typed_empty()
+
+    geo_rows = work.mapInPandas(run, schema=AUTO_SCHEMA)
+    base_rows = _auto_rows(spark, sf_dir, blocks, sizes)
+    return _dedup_upserts(base_rows.unionByName(geo_rows))

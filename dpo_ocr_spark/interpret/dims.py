@@ -26,48 +26,107 @@ _COUNTIES = ["Clark", "Marion", "Lincoln", "Wayne", "Union",
              "Grant", "Logan", "Perry", "Adams", "Custer"]
 
 
-def gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Locality dimension: country / state / sub-state / county name
-    variants, mirroring the 4 GADM queries + abbreviation joins
-    (block_identification.py:206-233).  Countries from nation.parquet;
-    states/counties synthesized as nation-region composites."""
+def _gadm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic GADM hierarchy (name_0 ⊃ name_1 ⊃ name_2): the containment
+    direction of TPC-H is region ⊃ nation, so the level mapping is
+    name_0 (country) := region, name_1 (state) := nation,
+    name_2 (county)  := fixed county list × nation.
+    One row per (nation, county): 25 × 10 = 250, every name unique."""
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
-    n = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
-        F.initcap("n_name").alias("country"),
-        F.initcap("r_name").alias("state"),
-        F.col("n_nationkey").alias("k"),
+    county = spark.createDataFrame([(c,) for c in _COUNTIES], ["county"])
+    return (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .crossJoin(F.broadcast(county))
+        .select(
+            F.initcap("r_name").alias("country"),
+            F.initcap("n_name").alias("state"),
+            F.col("county"),
+            F.col("n_nationkey").alias("k"),
+        )
     )
-    countries = n.select(
-        F.col("country").alias("name"),
-        F.lit("locality:country").alias("name_type"),
-        F.concat(F.lit("g0:"), F.col("k")).alias("uid"),
-    )
-    states = n.select(
-        F.concat_ws(", ", "state", "country").alias("name"),
-        F.lit("locality:state").alias("name_type"),
-        F.concat(F.lit("g1:"), F.col("k")).alias("uid"),
-    )
-    county = spark.createDataFrame(
-        [(c,) for c in _COUNTIES], ["county"]
-    )
-    counties = n.crossJoin(F.broadcast(county)).select(
-        F.concat_ws(", ", F.concat(F.col("county"), F.lit(" Co.")), "state")
-        .alias("name"),
+
+
+def gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locality dimension: county / state / sub-state / country name
+    variants, mirroring the 4 GADM level queries
+    (auto_id_compare.py:486-510, block_identification.py:205-233):
+    counties as ``name_2 || ' Co., ' || name_1``, states as
+    ``name_1 || ', ' || name_0``, sub-states as
+    ``name_2 || ', ' || name_1 || ', ' || name_0``, countries as
+    ``name_0``.  Rows are explicitly ordered (name, uid): the reference
+    iterates an unspecified DB order; a pinned order keeps argmax
+    tie-breaks engine-reproducible."""
+    g = _gadm(spark, sf_dir)
+    counties = g.select(
+        F.concat(F.col("county"), F.lit(" Co., "), F.col("state")).alias("name"),
         F.lit("locality:county").alias("name_type"),
         F.concat(F.lit("g2:"), F.col("k"), F.lit(":"), F.col("county")).alias("uid"),
     )
-    sub_states = n.crossJoin(F.broadcast(county)).select(
+    states = g.select(
+        F.concat_ws(", ", "state", "country").alias("name"),
+        F.lit("locality:state").alias("name_type"),
+        F.concat(F.lit("g1:"), F.col("k")).alias("uid"),
+    ).distinct()
+    sub_states = g.select(
         F.concat_ws(", ", "county", "state", "country").alias("name"),
         F.lit("locality:sub-state").alias("name_type"),
         F.concat(F.lit("gs:"), F.col("k"), F.lit(":"), F.col("county")).alias("uid"),
     )
+    countries = g.select(
+        F.col("country").alias("name"),
+        F.lit("locality:country").alias("name_type"),
+        F.concat(F.lit("g0:"), F.col("country")).alias("uid"),
+    ).distinct()
     # match order of the reference's localities_match frame: counties,
-    # states, sub-states, countries (block_identification.py:247-248)
+    # states, sub-states, countries (block_identification.py:247-248),
+    # each level internally sorted (determinism pin, see docstring)
     return (
-        counties.unionByName(states)
-        .unionByName(sub_states)
-        .unionByName(countries)
+        counties.orderBy("name", "uid")
+        .unionByName(states.orderBy("name", "uid"))
+        .unionByName(sub_states.orderBy("name", "uid"))
+        .unionByName(countries.orderBy("name", "uid"))
+    )
+
+
+def gazetteer_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(name, name_type) → admin hierarchy columns, the analog of joining
+    a matched gazetteer uid back to gadm0/1/2 rows (the reference's geo
+    passes carry name_1/name_0 alongside the matched name,
+    auto_id_compare.py:500-510).  Broadcast-sized: ≤ 530 rows."""
+    g = _gadm(spark, sf_dir)
+    county_h = g.select(
+        F.concat(F.col("county"), F.lit(" Co., "), F.col("state")).alias("name"),
+        F.lit("locality:county").alias("name_type"),
+        F.col("county").alias("district_county"),
+        F.col("state").alias("state_territory"),
+        F.col("country"),
+    )
+    sub_h = g.select(
+        F.concat_ws(", ", "county", "state", "country").alias("name"),
+        F.lit("locality:sub-state").alias("name_type"),
+        F.col("county").alias("district_county"),
+        F.col("state").alias("state_territory"),
+        F.col("country"),
+    )
+    state_h = g.select(
+        F.concat_ws(", ", "state", "country").alias("name"),
+        F.lit("locality:state").alias("name_type"),
+        F.lit(None).cast("string").alias("district_county"),
+        F.col("state").alias("state_territory"),
+        F.col("country"),
+    ).distinct()
+    country_h = g.select(
+        F.col("country").alias("name"),
+        F.lit("locality:country").alias("name_type"),
+        F.lit(None).cast("string").alias("district_county"),
+        F.lit(None).cast("string").alias("state_territory"),
+        F.col("country"),
+    ).distinct()
+    return (
+        county_h.unionByName(sub_h)
+        .unionByName(state_h)
+        .unionByName(country_h)
     )
 
 

@@ -13,6 +13,10 @@ Blocks per selected order (url = 'label://<o_orderkey>'):
   1: elevation            'Alt <n>00''
   2: bare year            '<year>'
   3: collector            'Coll. <c_name>'
+  4: locality (ento_blocks) '<County> Co., <Nation> <tail>' — hits the
+     synthetic GADM county gazetteer; the tail word is the
+     precise-locality remainder (never digits, never ending in m/'
+     so the date/elevation cascade ignores the block)
 Deterministic subset: o_orderkey % 100 == 0 (LIMIT without ORDER BY is
 nondeterministic — never used).
 """
@@ -20,6 +24,11 @@ nondeterministic — never used).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# precise-locality tails (k % 5).  Constraint: no digits (date cascade),
+# no trailing ' or m (elevation rule), short enough that the sorted-token
+# fuzz.ratio of the full block vs the county gazetteer name stays ≥ 80.
+PRECISE_TAILS = ["camp", "ridge", "valley", "spring", "summit"]
 
 ROMAN_OF_MONTH = [
     None, "I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX", "X",
@@ -70,18 +79,16 @@ def label_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b0.unionByName(b1).unionByName(b2).unionByName(b3)
 
 
-def auto_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """label_blocks + cascade-shaped blocks for the §3.3 auto-match flow.
+def ento_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_blocks + the 8-field locality block (the eval-harness input):
+      4: '<County> Co., <InitcapNation> <tail>'
+    The county/nation part hits the synthetic GADM county gazetteer at
+    sorted-token ratio ≥ 80 (then best-substring 100), from which
+    ``expand_locality`` derives district_county / state_territory /
+    country / precise_locality — the locality family of the reference
+    golden schema (database/transcription_ento.sql:6-10)."""
+    from .dims import _COUNTIES
 
-    The cascade's candidate generator never includes a block's LAST word
-    (auto_id_compare.py:283-285 quirk), so the 2-word label blocks yield
-    only their first word as a candidate.  These blocks carry a trailing
-    filler word so the value itself becomes a candidate substring:
-      4: 'Coll. <c_name> det.'             — collector hits when the same
-         customer has orders in both ref and test splits
-      5: 'in <customer nation> near camp'  — geo gazetteer hit (fuzz.ratio
-         100 vs the nation name → inserts the gazetteer name)
-    """
     orders = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .filter(F.col("o_orderkey") % 100 == 0)
@@ -93,31 +100,45 @@ def auto_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select(
             F.concat(F.lit("label://"), F.col("o_orderkey")).alias("url"),
-            F.col("c_name").alias("cname"),
-            F.col("n_name").alias("nname"),
+            F.col("o_orderkey").alias("k"),
+            F.initcap("n_name").alias("state"),
         )
+    )
+    # index on k/100, not k: label keys are multiples of 100, so k % m is
+    # degenerate for m | 100 — k/100 walks the county/tail lists
+    county = F.element_at(
+        F.array(*[F.lit(c) for c in _COUNTIES]),
+        ((F.col("k") / 100) % 10 + 1).cast("int"),
+    )
+    tail = F.element_at(
+        F.array(*[F.lit(t) for t in PRECISE_TAILS]),
+        ((F.col("k") / 100) % 5 + 1).cast("int"),
     )
     b4 = o.select(
         "url", F.lit(4).alias("block"), F.lit(4).alias("word_line"),
-        F.concat(F.lit("Coll. "), F.col("cname"), F.lit(" det.")).alias(
-            "block_text"
-        ),
+        F.concat(county, F.lit(" Co., "), F.col("state"), F.lit(" "), tail)
+        .alias("block_text"),
     )
-    b5 = o.select(
-        "url", F.lit(5).alias("block"), F.lit(5).alias("word_line"),
-        F.concat(F.lit("in "), F.col("nname"), F.lit(" near camp")).alias(
-            "block_text"
-        ),
-    )
-    return label_blocks(spark, sf_dir).unionByName(b4).unionByName(b5)
+    return label_blocks(spark, sf_dir).unionByName(b4)
 
 
-def label_blocks_with_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """label_blocks + locality (4) and taxonomy (5) blocks that hit the
-    synthetic dims exactly (score 100) — exercises match_localities /
-    match_taxonomy / similarity_fallback end-to-end."""
-    from .dims import _COUNTIES, _GENERA, _SPECIES
+def auto_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_blocks + cascade-shaped blocks for the §3.3 auto-match flow.
 
+    The cascade's candidate generator never includes a block's LAST word
+    (auto_id_compare.py:283-285 quirk), so the 2-word label blocks yield
+    only their first word as a candidate.  These blocks carry a trailing
+    filler word so the value itself becomes a candidate substring:
+      4: 'Coll. <c_name> det.'           — collector hits when the same
+         customer has orders in both ref and test splits
+      5: 'in <customer region> near camp' — geo (gadm0/country) gazetteer
+         hit (fuzz.ratio 100 vs the region name → inserts the gazetteer
+         name, auto_id_compare.py:537-555)
+      6: '<County> Co., <Nation> <tail>'  — the ento locality block: feeds
+         the 8-field dictionary cascade and the auto_geo state/county
+         passes (bare '<Nation>' and '<County> Co., <Nation>' are both
+         candidate substrings; the tail word never is)
+    """
     orders = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .filter(F.col("o_orderkey") % 100 == 0)
@@ -131,23 +152,59 @@ def label_blocks_with_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select(
             F.concat(F.lit("label://"), F.col("o_orderkey")).alias("url"),
-            F.col("o_orderkey").alias("k"),
-            F.initcap("r_name").alias("state"),
+            F.col("c_name").alias("cname"),
+            F.col("r_name").alias("rname"),
         )
     )
-    county = F.element_at(
-        F.array(*[F.lit(c) for c in _COUNTIES]), (F.col("k") % 10 + 1).cast("int")
+    b4 = o.select(
+        "url", F.lit(4).alias("block"), F.lit(4).alias("word_line"),
+        F.concat(F.lit("Coll. "), F.col("cname"), F.lit(" det.")).alias(
+            "block_text"
+        ),
+    )
+    b5 = o.select(
+        "url", F.lit(5).alias("block"), F.lit(5).alias("word_line"),
+        F.concat(F.lit("in "), F.col("rname"), F.lit(" near camp")).alias(
+            "block_text"
+        ),
+    )
+    b6 = (
+        ento_blocks(spark, sf_dir)
+        .filter(F.col("block") == 4)
+        .select(
+            "url", F.lit(6).alias("block"), F.lit(6).alias("word_line"),
+            "block_text",
+        )
+    )
+    return (
+        label_blocks(spark, sf_dir)
+        .unionByName(b4)
+        .unionByName(b5)
+        .unionByName(b6)
+    )
+
+
+def label_blocks_with_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ento_blocks (locality block 4) + a taxonomy block (5) that hits the
+    synthetic taxonomy dims exactly — exercises match_localities /
+    match_taxonomy / similarity_fallback end-to-end."""
+    from .dims import _GENERA, _SPECIES
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 100 == 0)
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.concat(F.lit("label://"), F.col("o_orderkey")).alias("url"),
+        F.col("o_orderkey").alias("k"),
     )
     sci = F.element_at(
         F.array(*[F.lit(f"{g} {s}") for g, s in zip(_GENERA, _SPECIES)]),
         (F.col("k") % 10 + 1).cast("int"),
     )
-    b4 = o.select(
-        "url", F.lit(4).alias("block"), F.lit(4).alias("word_line"),
-        F.concat(county, F.lit(" Co., "), F.col("state")).alias("block_text"),
-    )
     b5 = o.select(
         "url", F.lit(5).alias("block"), F.lit(5).alias("word_line"),
         sci.alias("block_text"),
     )
-    return label_blocks(spark, sf_dir).unionByName(b4).unionByName(b5)
+    return ento_blocks(spark, sf_dir).unionByName(b5)

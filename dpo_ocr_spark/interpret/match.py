@@ -149,6 +149,85 @@ def match_localities(
     return blocks.mapInPandas(run, schema=FIELD_WL)
 
 
+def expand_locality(
+    loc_fields: DataFrame, blocks: DataFrame, hierarchy: DataFrame
+) -> DataFrame:
+    """Derive the golden schema's locality family from a matched gazetteer
+    entry (database/transcription_ento.sql:6-10; the reference's geo
+    passes carry the matched row's name_1/name_0 hierarchy,
+    auto_id_compare.py:500-510, 637, 720):
+
+    - ``district_county`` / ``state_territory`` / ``country``: the admin
+      hierarchy of the matched (name, name_type) — broadcast join against
+      ``dims.gazetteer_hierarchy`` (≤ 530 rows), all JVM-side;
+    - ``precise_locality``: the block text with the matched verbatim
+      substring removed (literal replace + trim) — the un-gazetteered
+      remainder, emitted only when non-empty.
+
+    Input is the deduped ``verbatim_locality`` FIELD rows; output is new
+    FIELD rows (one per derived non-null value), unique per
+    (url, block_id, data_type) by construction."""
+    loc = loc_fields.filter(F.col("data_type") == "verbatim_locality")
+    j = loc.join(
+        F.broadcast(
+            hierarchy.select(
+                F.col("name").alias("_h_name"),
+                F.col("name_type").alias("_h_type"),
+                F.col("district_county").alias("_h_county"),
+                F.col("state_territory").alias("_h_state"),
+                F.col("country").alias("_h_country"),
+            )
+        ),
+        (F.col("interpreted_value") == F.col("_h_name"))
+        & (F.col("data_format") == F.col("_h_type")),
+        "inner",
+    ).join(
+        blocks.select(
+            "url", F.col("block").alias("block_id"), "block_text"
+        ),
+        ["url", "block_id"],
+    )
+    remainder = F.trim(
+        F.replace(F.col("block_text"), F.col("verbatim_value"), F.lit(""))
+    )
+    e = F.explode(
+        F.array(
+            F.struct(
+                F.lit("district_county").alias("dt"),
+                F.col("_h_county").alias("iv"),
+            ),
+            F.struct(F.lit("state_territory").alias("dt"),
+                     F.col("_h_state").alias("iv")),
+            F.struct(F.lit("country").alias("dt"),
+                     F.col("_h_country").alias("iv")),
+            F.struct(F.lit("precise_locality").alias("dt"),
+                     remainder.alias("iv")),
+        )
+    )
+    return (
+        j.select(
+            "url", "block_id", e.alias("e"),
+            "data_format", "verbatim_value",
+        )
+        .filter(F.col("e.iv").isNotNull() & (F.col("e.iv") != ""))
+        .select(
+            "url",
+            "block_id",
+            F.col("e.dt").alias("data_type"),
+            F.when(
+                F.col("e.dt") == "precise_locality",
+                F.lit("locality:precise"),
+            ).otherwise(F.col("data_format")).alias("data_format"),
+            F.col("e.iv").alias("interpreted_value"),
+            F.when(
+                F.col("e.dt") == "precise_locality", F.col("e.iv")
+            ).otherwise(F.col("verbatim_value")).alias("verbatim_value"),
+            F.lit("gazetteer").alias("data_source"),
+            F.lit(0.0).alias("match_score"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stage: taxonomy match (U1 + J6 with sortorder tie-break)
 # ---------------------------------------------------------------------------
@@ -407,12 +486,16 @@ def interpret_all(
     taxonomy: DataFrame,
     collector_strings: tuple[str, ...] = COLLECTOR_STRINGS,
     with_fallback: bool = True,
+    hierarchy: DataFrame | None = None,
 ) -> DataFrame:
-    """Full §3.2 pipeline: dates → localities → taxonomy → collector →
+    """Full §3.2 pipeline: dates → localities (→ admin-hierarchy
+    expansion when a hierarchy dim is given) → taxonomy → collector →
     similarity fallback, merged with reference upsert semantics."""
     blocks = blocks.cache()
     dates = dedup_line_grain(interpret_dates(blocks, collector_strings))
     locs = dedup_line_grain(match_localities(spark, blocks, gazetteer))
+    if hierarchy is not None:
+        locs = locs.unionByName(expand_locality(locs, blocks, hierarchy))
     taxo = dedup_line_grain(match_taxonomy(spark, blocks, taxonomy))
     base = merge_fields(merge_fields(dates, locs), taxo)
     coll = dedup_line_grain(match_collector(blocks, base, collector_strings))

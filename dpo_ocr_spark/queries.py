@@ -97,11 +97,20 @@ tok AS (
 """
 
 
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-shared extraction frame (stagecache: ~20 wrappers consume it)."""
+    from .pipeline import run_extraction
+    from .stagecache import shared
+
+    return shared(
+        spark, f"extract:{sf_dir}", lambda: run_extraction(spark, sf_dir)
+    )
+
+
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .assemble import explode_tokens
-    from .pipeline import run_extraction
 
-    return explode_tokens(run_extraction(spark, sf_dir))
+    return explode_tokens(_extracted(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -120,9 +129,7 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end byte-identity: decode payloads (HTML boilerplate strip /
     layout parse), return per-url extracted text. Oracle re-derives the
     expected text directly from documents.text."""
-    from .pipeline import run_extraction
-
-    return run_extraction(spark, sf_dir).select("url", "text")
+    return _extracted(spark, sf_dir).select("url", "text")
 
 
 @register(
@@ -328,11 +335,25 @@ _register_relational()
 # Interpretation cascade (implementations in interpret/; SURVEY.md §3.2)
 # ---------------------------------------------------------------------------
 
-_LBL_CTE = """
+# DuckDB has no initcap(); per-word upper-first is the portable twin of
+# Spark's F.initcap
+def _initcap_sql(expr: str) -> str:
+    return (
+        "array_to_string(list_transform(str_split(lower(" + expr + "), ' '),"
+        " x -> upper(x[1]) || x[2:]), ' ')"
+    )
+
+
+_LBL_CTE = f"""
 lbl AS (
   SELECT 'label://' || CAST(o_orderkey AS VARCHAR) AS url,
-         o_orderdate AS d, o_orderkey AS k, c_name AS cname
-  FROM orders JOIN customer ON o_custkey = c_custkey
+         o_orderdate AS d, o_orderkey AS k, c_name AS cname,
+         {_initcap_sql('n_name')} AS state_name,
+         {_initcap_sql('r_name')} AS country_name
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
   WHERE o_orderkey % 100 = 0
 )
 """
@@ -341,8 +362,15 @@ lbl AS (
 def _label_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .interpret.labels import label_blocks
     from .interpret.match import dedup_line_grain, interpret_dates
+    from .stagecache import shared
 
-    return dedup_line_grain(interpret_dates(label_blocks(spark, sf_dir)))
+    return shared(
+        spark,
+        f"label_fields:{sf_dir}",
+        lambda: dedup_line_grain(
+            interpret_dates(label_blocks(spark, sf_dir))
+        ),
+    )
 
 
 _INTERP_COLS = [
@@ -438,13 +466,14 @@ def q_interpret_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full §3.2 pipeline incl. locality/taxonomy fuzzy match and the
     pg_trgm similarity fallback (non-SQL-expressible → rows-only; exact
     behavior pinned by pytest goldens)."""
-    from .interpret.dims import gazetteer, taxonomy
+    from .interpret.dims import gazetteer, gazetteer_hierarchy, taxonomy
     from .interpret.labels import label_blocks_with_dims
     from .interpret.match import interpret_all
 
     blocks = label_blocks_with_dims(spark, sf_dir)
     return interpret_all(
-        spark, blocks, gazetteer(spark, sf_dir), taxonomy(spark)
+        spark, blocks, gazetteer(spark, sf_dir), taxonomy(spark),
+        hierarchy=gazetteer_hierarchy(spark, sf_dir),
     )
 
 
@@ -482,3 +511,51 @@ def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import queries_ops  # noqa: E402,F401
 from . import queries_eval  # noqa: E402,F401
 from . import queries_curation  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# Registry order (r4): the driver's CORRECTNESS gate samples the FIRST 50
+# entries.  Rounds 1-3 always sampled the same long-green r1 block, so 44
+# registered queries never received a driver row (VERDICT r3, What's wrong
+# #3).  The rotation below front-loads (a) the flagship pair, (b) the three
+# r3-disputed queries (so their green/FAIL row lands every round), (c) the
+# queries modified or added this round, then (d) every never-driver-checked
+# query.  The long-green r1 relational/interp block moves to the tail —
+# still registered, still covered by the local sweep (ORACLES_r{N}.txt).
+# ---------------------------------------------------------------------------
+
+_FIRST = [
+    # flagship + disputed (keep a driver row on these every round)
+    "extract_text", "block_assembly",
+    "multiway_join", "case_bucket", "range_join",
+    # modified/added in r4
+    "eval_golden_long", "eval_accuracy_exact", "eval_accuracy_geo",
+    "form_fields",
+    # never driver-checked before r4 (oracle-backed)
+    "eval_accuracy_trgm", "span_records", "training_jsonl",
+    "zonal_cells", "zonal_pivot", "url_confidence", "conf_histogram",
+    "annotate_plan", "crop_rects", "rollup_summary", "scalar_chain",
+    "paragraph_dedup", "asof_join", "sessionize", "value_quantiles",
+    "decontaminate", "repetition_stats", "training_order",
+    "semantic_prune", "tfidf_top_terms", "lm_bigram_score", "domain_mix",
+    "url_filter", "chunk_documents", "streaming_window_counts",
+    "streaming_interval_join", "curated_training_set", "host_cap",
+    "repetition_stats_exploded", "incremental_dedup", "pii_scrub",
+    "props_extract", "streaming_sessionize", "image_autocrop",
+    "image_autocrop_png", "image_autocrop_jpeg",
+    "cluster_representatives", "url_normalize", "unicode_normalize",
+    "cube_summary",
+    # rows-only but changed in r4 (8-field dictionaries)
+    "eval_accuracy_auto",
+]
+
+
+def _rotate() -> None:
+    ordered = [n for n in _FIRST if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in ordered]
+    snapshot = dict(QUERIES)
+    QUERIES.clear()
+    QUERIES.update({n: snapshot[n] for n in ordered})
+
+
+_rotate()

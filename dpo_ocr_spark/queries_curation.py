@@ -12,7 +12,7 @@ epoch-microsecond timestamps).
 from __future__ import annotations
 
 from .queries import ORACLES, QUERIES
-from .queries_eval import _scratch_dir
+from .session import scratch_dir as _scratch_dir
 from .ops import curation as C
 from .ops import events as EV
 from .ops.similarity import SEMANTIC_PRUNE_ORACLE, semantic_prune

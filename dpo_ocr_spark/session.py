@@ -63,3 +63,16 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp whose tree is removed at interpreter exit — streaming query
+    wrappers stage a source copy + checkpoint per run; without cleanup
+    repeated gate runs accumulate unbounded /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d

@@ -133,30 +133,46 @@ def test_pg_trgm_known_values():
 # --- Spark pipeline ----------------------------------------------------------
 
 def test_interpret_all_on_labels(spark):
-    from dpo_ocr_spark.interpret.dims import gazetteer, taxonomy
+    from dpo_ocr_spark.interpret.dims import (
+        gazetteer,
+        gazetteer_hierarchy,
+        taxonomy,
+    )
     from dpo_ocr_spark.interpret.labels import label_blocks_with_dims
     from dpo_ocr_spark.interpret.match import interpret_all
 
     sd = "/root/testdata/sf0.001"
     blocks = label_blocks_with_dims(spark, sd)
+    hier = gazetteer_hierarchy(spark, sd)
     fields = interpret_all(
-        spark, blocks, gazetteer(spark, sd), taxonomy(spark)
+        spark, blocks, gazetteer(spark, sd), taxonomy(spark), hierarchy=hier
     ).collect()
-    by_key = {(r.url, r.block_id, r.data_type): r for r in fields}
     urls = {r.url for r in fields}
     assert urls, "no label urls produced fields"
     u = sorted(urls)[0]
-    # locality block hit the gazetteer exactly
+    # locality block hit the gazetteer county level exactly: the matched
+    # NAME (county + nation state), not the raw block text with its
+    # precise tail
     loc = [r for r in fields if r.url == u and r.data_type == "verbatim_locality"]
-    assert loc and loc[0].interpreted_value.endswith(
-        (" Co., Africa", " Co., America", " Co., Asia", " Co., Europe",
-         " Co., Middle East"))
+    assert loc and loc[0].data_format == "locality:county"
+    assert " Co., " in loc[0].interpreted_value
+    assert not loc[0].interpreted_value.endswith(
+        ("camp", "ridge", "valley", "spring", "summit"))
+    # the admin-hierarchy expansion emitted the locality family
+    by_type = {
+        r.data_type: r for r in fields if r.url == u and r.block_id == 4
+    }
+    assert {"country", "state_territory", "precise_locality"} <= set(by_type)
+    assert by_type["country"].interpreted_value in (
+        "Africa", "America", "Asia", "Europe", "Middle East")
+    assert by_type["precise_locality"].interpreted_value in (
+        "camp", "ridge", "valley", "spring", "summit")
     # taxonomy block matched a species (sortorder-1 level)
     tax = [r for r in fields if r.url == u and r.data_type == "taxonomy"]
     assert tax and tax[0].data_format == "taxonomy:species"
     # determinism across runs
     again = interpret_all(
-        spark, blocks, gazetteer(spark, sd), taxonomy(spark)
+        spark, blocks, gazetteer(spark, sd), taxonomy(spark), hierarchy=hier
     ).collect()
     assert sorted(map(tuple, fields)) == sorted(map(tuple, again))
 
