@@ -82,6 +82,9 @@ def golden_transcription(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(((k % 40) * 100 + 100).cast("string"), F.lit("'")).alias(
             "elevation"
         ),
+        # golden column beyond the 8 scored fields (the ento table carries
+        # it, transcription_ento.sql:12; matched by match_other_numbers)
+        (k / 100 + 100000).cast("int").cast("string").alias("other_numbers"),
     )
 
 

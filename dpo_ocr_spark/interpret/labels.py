@@ -119,7 +119,19 @@ def ento_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(county, F.lit(" Co., "), F.col("state"), F.lit(" "), tail)
         .alias("block_text"),
     )
-    return label_blocks(spark, sf_dir).unionByName(b4)
+    # block 6: catalog number 'No. <n>' — the golden other_numbers column
+    # (transcription_ento.sql:12).  The 'No.' keyword guard makes the date
+    # cascade skip it (block_identification.py:110-115 quirk); the
+    # match_other_numbers rule picks it up.  (block 5 is the taxonomy
+    # block in label_blocks_with_dims.)
+    b6 = o.select(
+        "url", F.lit(6).alias("block"), F.lit(6).alias("word_line"),
+        F.concat(
+            F.lit("No. "),
+            (F.col("k") / 100 + 100000).cast("int").cast("string"),
+        ).alias("block_text"),
+    )
+    return label_blocks(spark, sf_dir).unionByName(b4).unionByName(b6)
 
 
 def auto_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:

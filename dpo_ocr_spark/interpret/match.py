@@ -284,6 +284,32 @@ def match_taxonomy(
     return blocks.mapInPandas(run, schema=FIELD_WL)
 
 
+# catalog-number pattern; whitespace spelled explicitly (Java ∩ RE2 rule:
+# \s includes \x0b in Java/Python but not RE2, so shared regexes never
+# use it)
+OTHER_NUMBERS_RE = r"No\.[ \t\n\x0b\f\r]*([0-9]+)"
+
+
+def match_other_numbers(blocks: DataFrame) -> DataFrame:
+    """Catalog-number rule for the golden ``other_numbers`` column
+    (database/transcription_ento.sql:12).  The reference's date cascade
+    explicitly SKIPS 'No.' blocks (block_identification.py:110-115) and
+    the column is human-filled; this rule auto-extracts the digit run so
+    the engine can populate it.  Pure JVM regexp — no Python, no
+    shuffle."""
+    num = F.regexp_extract("block_text", OTHER_NUMBERS_RE, 1)
+    return blocks.filter(num != "").select(
+        "url",
+        F.col("block").cast("int").alias("block_id"),
+        F.lit("other_numbers").alias("data_type"),
+        F.lit("other_numbers").alias("data_format"),
+        num.alias("interpreted_value"),
+        F.col("block_text").alias("verbatim_value"),
+        F.lit("").alias("data_source"),
+        F.lit(0.0).alias("match_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stage: collector (F6 + J9 self-subtraction)
 # ---------------------------------------------------------------------------

@@ -530,7 +530,7 @@ _FIRST = [
     "multiway_join", "case_bucket", "range_join",
     # modified/added in r4
     "eval_golden_long", "eval_accuracy_exact", "eval_accuracy_geo",
-    "form_fields",
+    "form_fields", "interp_other_numbers",
     # never driver-checked before r4 (oracle-backed)
     "eval_accuracy_trgm", "span_records", "training_jsonl",
     "zonal_cells", "zonal_pivot", "url_confidence", "conf_histogram",

@@ -242,6 +242,35 @@ def _q_accuracy_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("eval_accuracy_geo", _q_accuracy_geo)
 
 
+def _q_other_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-number rule over the ento label blocks (golden
+    other_numbers column, transcription_ento.sql:12).  Output trimmed to
+    the _INTERP_COLS shape (no score column — a bare 0.0 literal comes
+    back from DuckDB as Decimal and the gate renders Decimal ≠ float)."""
+    from .interpret.labels import ento_blocks
+    from .interpret.match import match_other_numbers
+    from .queries import _INTERP_COLS
+
+    return match_other_numbers(ento_blocks(spark, sf_dir)).select(
+        *_INTERP_COLS
+    )
+
+
+_register(
+    "interp_other_numbers",
+    _q_other_numbers,
+    f"""
+WITH {_LBL_CTE}
+SELECT url, 6 AS block_id, 'other_numbers' AS data_type,
+       'other_numbers' AS data_format,
+       CAST(CAST(k / 100 + 100000 AS INT) AS VARCHAR) AS interpreted_value,
+       'No. ' || CAST(CAST(k / 100 + 100000 AS INT) AS VARCHAR)
+         AS verbatim_value
+FROM lbl
+""",
+)
+
+
 # --- span export -------------------------------------------------------------
 
 

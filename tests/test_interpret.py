@@ -257,3 +257,27 @@ def test_dateparser_format_matrix(text, byorder):
     MONTH='first', REQUIRE_PARTS=['month','year'])."""
     for order, want in byorder.items():
         assert parse(text, order) == want, (text, order)
+
+
+def test_other_numbers_rule(spark):
+    """Catalog-number rule (golden other_numbers column,
+    transcription_ento.sql:12): extracts the digit run after 'No.'; the
+    date cascade's 'No.' guard means these blocks reach ONLY this rule."""
+    from dpo_ocr_spark.interpret.match import match_other_numbers
+
+    blocks = spark.createDataFrame(
+        [
+            ("u", 0, 0, "No. 1234"),
+            ("u", 1, 1, "No.77 det"),
+            ("u", 2, 2, "Number 99"),   # no 'No.' keyword → nothing
+            ("u", 3, 3, "No. abc"),     # no digits → nothing
+        ],
+        ["url", "block", "word_line", "block_text"],
+    )
+    got = {r.block_id: r for r in match_other_numbers(blocks).collect()}
+    assert set(got) == {0, 1}
+    assert got[0].interpreted_value == "1234"
+    assert got[0].verbatim_value == "No. 1234"
+    assert got[1].interpreted_value == "77"
+    # the guard quirk stays intact: the date cascade ignores these blocks
+    assert interpret_block("No. 1234 Jun 1943") is None
