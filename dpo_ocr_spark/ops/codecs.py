@@ -7,10 +7,10 @@ to autocrop (data_prep/NMAH_Ledgers/autocrop.py:22-55) — so this module
 closes the boundary with no codec libraries, which the container lacks:
 
 - **PNG**: full 8-bit decoder — gray / RGB / palette / gray+alpha / RGBA,
-  all five scanline filters, zlib (stdlib) inflate; plus a filter-0
-  encoder (fixtures + sinks).  Adam7 interlace and sub-8-bit depths are
-  rejected with a clear error (web corpora are overwhelmingly
-  non-interlaced 8-bit).
+  all five scanline filters, Adam7 interlace (seven independently
+  filtered sub-images scattered onto the raster), zlib (stdlib) inflate;
+  plus a filter-0 encoder (fixtures + sinks).  Sub-8-bit depths are
+  rejected with a clear error (web corpora are overwhelmingly 8-bit).
 - **JPEG**: baseline sequential (SOF0) decoder — canonical Huffman,
   dequant, 8×8 IDCT as two matmuls over the batched block tensor,
   chroma upsampling for 4:4:4 / 4:2:2 / 4:2:0, restart markers — plus a
@@ -64,18 +64,35 @@ def decode_png(data: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if depth != 8:
         raise ValueError(f"only 8-bit PNG supported (got depth={depth})")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {color}")
     ch = _PNG_CHANNELS[color]
     raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        if len(raw) != h * (w * ch + 1):
+            raise ValueError("PNG raster size mismatch")
+        img = _png_unfilter(raw, 0, w, h, ch).reshape(h, w, ch)
+    else:
+        img = _adam7_deinterlace(raw, w, h, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        return plte[img[:, :, 0]]
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    if ch == 2:  # gray+alpha → gray replicated
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]  # RGB / RGBA → RGB
+
+
+def _png_unfilter(raw: bytes, pos: int, w: int, h: int, ch: int) -> np.ndarray:
+    """Reverse PNG scanline filters over one sub-image region: consumes
+    ``h * (w*ch + 1)`` bytes at ``pos``, returns (h, w*ch) uint8."""
     stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG raster size mismatch")
     out = np.empty((h, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
-    pos = 0
     for y in range(h):
         f = raw[pos]
         line = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
@@ -110,16 +127,33 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {f}")
         out[y] = line
         prev = line
-    img = out.reshape(h, w, ch)
-    if color == 3:
-        if plte is None:
-            raise ValueError("paletted PNG missing PLTE")
-        return plte[img[:, :, 0]]
-    if ch == 1:
-        return np.repeat(img, 3, axis=2)
-    if ch == 2:  # gray+alpha → gray replicated
-        return np.repeat(img[:, :, :1], 3, axis=2)
-    return img[:, :, :3]  # RGB / RGBA → RGB
+    return out
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _adam7_deinterlace(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Adam7: seven independently-filtered sub-images scattered onto the
+    full raster (each pass restarts filtering with a zero 'prior' line —
+    PNG spec §8.2; empty passes contribute zero bytes)."""
+    img = np.zeros((h, w, ch), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub = _png_unfilter(raw, pos, pw, ph, ch).reshape(ph, pw, ch)
+        pos += ph * (pw * ch + 1)
+        img[y0::dy, x0::dx] = sub
+    if pos != len(raw):
+        raise ValueError("PNG raster size mismatch (Adam7)")
+    return img
 
 
 def _png_chunk(typ: bytes, payload: bytes) -> bytes:

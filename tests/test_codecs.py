@@ -113,9 +113,15 @@ def test_png_rejections():
         decode_png(b"nope")
     img = RNG.integers(0, 256, (4, 4, 3), dtype=np.uint8)
     data = bytearray(encode_png(img))
-    # flip interlace byte inside IHDR (offset: 8 sig + 8 hdr + 12th byte)
+    # unknown interlace method inside IHDR (Adam7 itself is supported —
+    # see test_png_adam7_roundtrip; only method 0/1 exist in the spec)
+    data[8 + 8 + 12] = 2
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bytes(data))
+    # a NON-interlaced raster mislabeled as Adam7 must fail loudly, not
+    # decode garbage (pass sizes won't tile the stream)
     data[8 + 8 + 12] = 1
-    with pytest.raises(ValueError, match="Adam7"):
+    with pytest.raises(ValueError):
         decode_png(bytes(data))
 
 
@@ -232,3 +238,44 @@ def test_decoders_raise_cleanly_on_garbage(data):
             decode_image(prefix + data)
         except (ValueError, IndexError, struct.error, zlib.error, KeyError):
             pass
+
+
+def test_png_adam7_roundtrip():
+    """Adam7-interlaced PNG decodes to the same pixels as the
+    non-interlaced encoding of the same image.  The interlaced stream is
+    hand-built (PNG spec §8.2 pass grid, filter 0 per scanline) since no
+    codec library ships in this container."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dpo_ocr_spark.ops.codecs import (
+        _ADAM7,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (3, 5), (8, 8), (13, 21)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        # build the interlaced raster: per pass, filter-0 scanlines
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                parts.append(b"\x00" + row.tobytes())
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
+            + _png_chunk(b"IEND", b"")
+        )
+        got = decode_png(png)
+        assert np.array_equal(got, img), (h, w)
+        # and the plain encoder round-trips to the same pixels
+        assert np.array_equal(decode_png(encode_png(img)), img)
