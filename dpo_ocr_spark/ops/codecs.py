@@ -1,4 +1,4 @@
-"""Pure-python/numpy image codecs: PNG and baseline JPEG (+ dispatch).
+"""Pure-python/numpy image codecs: PNG and JPEG (+ dispatch).
 
 Round 2 left compressed formats as a declared plug-in boundary
 (``decode_ppm`` was the only real decode).  The reference corpus arrives
@@ -11,11 +11,12 @@ closes the boundary with no codec libraries, which the container lacks:
   filtered sub-images scattered onto the raster), zlib (stdlib) inflate;
   plus a filter-0 encoder (fixtures + sinks).  Sub-8-bit depths are
   rejected with a clear error (web corpora are overwhelmingly 8-bit).
-- **JPEG**: baseline sequential (SOF0) decoder — canonical Huffman,
-  dequant, 8×8 IDCT as two matmuls over the batched block tensor,
-  chroma upsampling for 4:4:4 / 4:2:2 / 4:2:0, restart markers — plus a
-  grayscale/4:4:4 encoder (Annex K tables) used by fixtures.
-  Progressive (SOF2) / arithmetic / 12-bit are rejected explicitly.
+- **JPEG**: baseline sequential (SOF0) AND progressive (SOF2) decoder —
+  canonical Huffman, spectral selection + successive approximation
+  (DC/AC first and refinement scans, EOB runs), dequant, batched 8×8
+  IDCT, chroma upsampling for 4:4:4 / 4:2:2 / 4:2:0, restart markers —
+  plus baseline and progressive encoders used by fixtures.
+  Arithmetic coding / hierarchical / 12-bit are rejected explicitly.
 
 Performance shape: the bit-serial parts (Huffman, PNG sub/avg/paeth
 filters) are honest per-element Python — fine because decode
@@ -178,7 +179,7 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# JPEG (baseline sequential, SOF0)
+# JPEG (baseline SOF0 + progressive SOF2)
 # ---------------------------------------------------------------------------
 
 ZIGZAG = np.array([
@@ -361,8 +362,133 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+class _ScanState:
+    """Per-scan entropy state: DC predictors + shared EOB run."""
+
+    def __init__(self, comps: list) -> None:
+        self.preds = {cid: 0 for cid, *_ in comps}
+        self.eobrun = 0
+
+    def reset(self) -> None:
+        for k in self.preds:
+            self.preds[k] = 0
+        self.eobrun = 0
+
+
+def _decode_dc(
+    br: _BitReader, st: _ScanState, coef: np.ndarray, cid: int,
+    dc_t: dict, ah: int, al: int,
+) -> None:
+    """DC band of one block: first pass decodes a shifted diff, a
+    refinement pass (Ah > 0) appends one correction bit (spec G.1.2.1)."""
+    if ah == 0:
+        s = br.huff(dc_t)
+        diff = _extend(br.read(s), s) if s else 0
+        st.preds[cid] += diff
+        coef[0] = st.preds[cid] << al
+    elif br.read(1):
+        coef[0] |= 1 << al
+
+def _decode_ac_first(
+    br: _BitReader, st: _ScanState, coef: np.ndarray,
+    ac_t: dict, ss: int, se: int, al: int,
+) -> None:
+    """AC band, first pass (Ah = 0): run-length + EOBn codes, new
+    coefficients arrive shifted by Al (spec G.1.2.2).  With
+    ss=1→se=63, al=0 this is exactly the baseline AC loop (EOB ≡ EOB0)."""
+    if st.eobrun > 0:
+        st.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = br.huff(ac_t)
+        r, sz = rs >> 4, rs & 15
+        if sz == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            st.eobrun = (1 << r) - 1
+            if r:
+                st.eobrun += br.read(r)
+            break  # EOBn covers this block
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow")
+        coef[k] = _extend(br.read(sz), sz) << al
+        k += 1
+
+
+def _decode_ac_refine(
+    br: _BitReader, st: _ScanState, coef: np.ndarray,
+    ac_t: dict, ss: int, se: int, al: int,
+) -> None:
+    """AC band, refinement pass (Ah > 0): correction bits for
+    already-nonzero coefficients, newly-significant ±1<<Al insertions
+    (spec G.1.2.3 / the libjpeg decode_mcu_AC_refine algorithm)."""
+    p1 = 1 << al
+
+    def correct(k: int) -> None:
+        # EOB region: only correction bits, at nonzero positions
+        while k <= se:
+            if coef[k] != 0:
+                if br.read(1) and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else -p1
+            k += 1
+
+    if st.eobrun > 0:
+        # whole block lies inside an existing EOB run
+        correct(ss)
+        st.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = br.huff(ac_t)
+        r, sz = rs >> 4, rs & 15
+        val = 0
+        if sz == 0:
+            if r < 15:
+                # EOBn: this block's remainder gets correction bits; the
+                # run then covers the NEXT (run-1) whole blocks
+                st.eobrun = (1 << r) - 1
+                if r:
+                    st.eobrun += br.read(r)
+                correct(k)
+                return
+            # r == 15 (ZRL): skip over 16 zero-history positions
+        else:
+            if sz != 1:
+                raise ValueError("bad refinement magnitude")
+            val = p1 if br.read(1) else -p1
+        while k <= se:
+            if coef[k] != 0:
+                # correction bit for an already-nonzero coefficient
+                if br.read(1) and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else -p1
+            else:
+                if r == 0:
+                    if val:
+                        coef[k] = val
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+
+
+def _skip_entropy(data: bytes, pos: int) -> int:
+    """Advance past entropy-coded bytes to the next real marker."""
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG → (h, w, 3) uint8 RGB."""
+    """JPEG → (h, w, 3) uint8 RGB.  Baseline sequential (SOF0) and
+    progressive (SOF2: spectral selection + successive approximation,
+    DC/AC first and refinement scans, EOB runs, restart intervals)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -370,14 +496,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     frame = None
     restart = 0
-    scan = None
-    while pos < len(data):
+    coefs: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) zigzag-order
+    grid: dict[int, tuple[int, int, int, int]] = {}  # cid -> bw,bh grid+used
+    n_scans = 0
+    hmax = vmax = mcux = mcuy = 0
+    while pos < len(data) - 1:
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # EOI
+            break
         ln = struct.unpack(">H", data[pos : pos + 2])[0]
         seg = data[pos + 2 : pos + ln]
         if marker == 0xDB:  # DQT
@@ -390,7 +521,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     seg, np.uint8, 64, i + 1
                 ).astype(np.int64)
                 i += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -399,11 +530,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, hi, v, _ in comps:
+                # padded MCU grid; non-interleaved scans cover only the
+                # component's true block dims (spec A.2.2)
+                gw, gh = mcux * hi, mcuy * v
+                cw = -(-(w * hi) // hmax)  # component sample dims (ceil)
+                ch = -(-(h * v) // vmax)
+                bw = -(-cw // 8)
+                bh = -(-ch // 8)
+                coefs[cid] = np.zeros((gh, gw, 64), np.int64)
+                grid[cid] = (gw, gh, bw, bh)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG frame type 0xFF{marker:02X} "
-                "(only baseline sequential SOF0)"
+                "(baseline SOF0 and progressive SOF2 only)"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -417,75 +562,89 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
             pos += ln
-            break
+            h, w, comps = frame
+            comp_by_id = {cid: (hi, v, tq) for cid, hi, v, tq in comps}
+            scan_tabs = {cs: (dc, ac) for cs, dc, ac in scan}
+            br = _BitReader(data, pos)
+            st = _ScanState(comps)
+            if len(scan) > 1 or (ss == 0 and len(scan) == len(comps)):
+                # interleaved MCU order (DC and/or baseline full-band)
+                scomps = [c for c in comps if c[0] in scan_tabs]
+                for m in range(mcux * mcuy):
+                    if restart and m and m % restart == 0:
+                        br.expect_rst()
+                        st.reset()
+                    my, mx = divmod(m, mcux)
+                    for cid, hi, v, _tq in scomps:
+                        dc_id, ac_id = scan_tabs[cid]
+                        for by in range(v):
+                            for bx in range(hi):
+                                coef = coefs[cid][my * v + by, mx * hi + bx]
+                                if ss == 0:
+                                    _decode_dc(
+                                        br, st, coef, cid,
+                                        huff[(0, dc_id)], ah, al,
+                                    )
+                                if se > 0 and ah == 0:
+                                    _decode_ac_first(
+                                        br, st, coef, huff[(1, ac_id)],
+                                        max(ss, 1), se, al,
+                                    )
+            else:
+                # non-interleaved: one component, its true block raster
+                cid = scan[0][0]
+                dc_id, ac_id = scan_tabs[cid]
+                _gw, _gh, bw, bh = grid[cid]
+                for b in range(bw * bh):
+                    if restart and b and b % restart == 0:
+                        br.expect_rst()
+                        st.reset()
+                    by, bx = divmod(b, bw)
+                    coef = coefs[cid][by, bx]
+                    if ss == 0:
+                        _decode_dc(
+                            br, st, coef, cid, huff[(0, dc_id)], ah, al
+                        )
+                    elif ah == 0:
+                        _decode_ac_first(
+                            br, st, coef, huff[(1, ac_id)], ss, se, al
+                        )
+                    else:
+                        _decode_ac_refine(
+                            br, st, coef, huff[(1, ac_id)], ss, se, al
+                        )
+            n_scans += 1
+            pos = _skip_entropy(data, br.pos)
+            continue
         pos += ln
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+    if frame is None or n_scans == 0:
+        raise ValueError("JPEG missing SOF/SOS")
 
+    # dequantize + inverse zigzag + batched IDCT per component
     h, w, comps = frame
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # per-component block grids (list of 8x8 coef blocks, row-major)
-    planes_blocks = {
-        cid: np.zeros((mcuy * v * 8, mcux * hi * 8), np.float64)
-        for cid, hi, v, _ in comps
-    }
-    comp_by_id = {cid: (hi, v, tq) for cid, hi, v, tq in comps}
-    scan_tabs = {cs: (dc, ac) for cs, dc, ac in scan}
-
-    br = _BitReader(data, pos)
-    preds = {cid: 0 for cid, *_ in comps}
-    n_mcus = mcux * mcuy
-    coef = np.zeros(64, np.int64)
-    for m in range(n_mcus):
-        if restart and m and m % restart == 0:
-            br.expect_rst()
-            preds = {cid: 0 for cid in preds}
-        my, mx = divmod(m, mcux)
-        for cid, hi, v, tq in comps:
-            dc_t = huff[(0, scan_tabs[cid][0])]
-            ac_t = huff[(1, scan_tabs[cid][1])]
-            q = qtables[tq]
-            for by in range(v):
-                for bx in range(hi):
-                    coef[:] = 0
-                    s = br.huff(dc_t)
-                    diff = _extend(br.read(s), s) if s else 0
-                    preds[cid] += diff
-                    coef[0] = preds[cid]
-                    k = 1
-                    while k < 64:
-                        rs = br.huff(ac_t)
-                        r, sz = rs >> 4, rs & 15
-                        if sz == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC index overflow")
-                        coef[k] = _extend(br.read(sz), sz)
-                        k += 1
-                    block = np.zeros(64, np.float64)
-                    block[ZIGZAG] = coef * q
-                    blk = _DCT_C.T @ block.reshape(8, 8) @ _DCT_C
-                    y0 = (my * v + by) * 8
-                    x0 = (mx * hi + bx) * 8
-                    planes_blocks[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
-
-    # level shift, clip, upsample, color transform
     out_planes = []
-    for cid, hi, v, _ in comps:
-        p = np.clip(planes_blocks[cid] + 128.0, 0, 255)
+    for cid, hi, v, tq in comps:
+        deq = coefs[cid] * qtables[tq]  # (bh, bw, 64) zigzag order
+        nat = np.zeros_like(deq, dtype=np.float64)
+        nat[..., ZIGZAG] = deq
+        blocks = nat.reshape(*nat.shape[:2], 8, 8)
+        blk = np.einsum(
+            "ij,mnjk,kl->mnil", _DCT_C.T, blocks, _DCT_C, optimize=True
+        )
+        plane = blk.transpose(0, 2, 1, 3).reshape(
+            nat.shape[0] * 8, nat.shape[1] * 8
+        )
+        p = np.clip(plane + 128.0, 0, 255)
         p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // hi, axis=1)
         out_planes.append(p[:h, :w])
     if len(out_planes) == 1:
@@ -710,13 +869,312 @@ def encode_jpeg(
     return bytes(out)
 
 
+# --- progressive JPEG encoder (fixtures; exercises the SOF2 decoder) --------
+
+
+def _coef_tensors(img: np.ndarray, quality: int, subsampling: str):
+    """Forward path shared with encode_jpeg: per-component zigzag-order
+    quantized coefficient tensors (gh, gw, 64) over the padded MCU grid,
+    plus frame metadata."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((QTABLE_LUMA * scale + 50) // 100, 1, 255)
+    qc = np.clip((QTABLE_CHROMA * scale + 50) // 100, 1, 255)
+    samp = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+    factors = [(1, 1)] if gray else [samp, (1, 1), (1, 1)]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    if gray:
+        planes = [img.astype(np.float64)]
+        qs = [ql]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        qs = [ql, qc, qc]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    tensors, dims = [], []
+    for ci, p in enumerate(planes):
+        hi, vi = factors[ci]
+        sub = _block_mean_pool(p, vmax // vi, hmax // hi)
+        sh, sw = sub.shape
+        pp = np.empty((mcuy * vi * 8, mcux * hi * 8))
+        pp[:sh, :sw] = sub
+        pp[sh:, :sw] = sub[sh - 1 : sh, :]
+        pp[:, sw:] = pp[:, sw - 1 : sw]
+        pp = np.clip(pp, 0, 255)
+        gh, gw = mcuy * vi, mcux * hi
+        blocks = pp.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3) - 128.0
+        cf = np.einsum(
+            "ij,mnjk,kl->mnil", _DCT_C, blocks, _DCT_C.T, optimize=True
+        )
+        nat = np.rint(
+            cf.reshape(gh, gw, 64) / qs[ci].astype(np.float64)
+        ).astype(np.int64)
+        tensors.append(nat[..., ZIGZAG])
+        dims.append((-(-sw // 8), -(-sh // 8)))  # true (bw, bh)
+    return gray, h, w, factors, hmax, vmax, mcux, mcuy, tensors, dims, ql, qc
+
+
+class _OpBuf:
+    """Scan op recorder: symbols + raw bits, replayed once the scan's
+    Huffman tables are built from the actual symbol sets (Annex K tables
+    lack the EOBn codes progressive scans need)."""
+
+    def __init__(self) -> None:
+        self.ops: list[tuple] = []
+
+    def sym(self, tclass: int, tid: int, s: int) -> None:
+        self.ops.append(("s", tclass, tid, s))
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.ops.append(("b", v, n))
+
+    def emit(self, out: bytearray, header: bytes) -> None:
+        used: dict[tuple[int, int], set] = {}
+        for op in self.ops:
+            if op[0] == "s":
+                used.setdefault((op[1], op[2]), set()).add(op[3])
+        encs = {}
+        for (tc, th), syms in sorted(used.items()):
+            vals = sorted(syms)
+            depth = max(2, (len(vals) + 1).bit_length())  # all-1s unused
+            bits = [0] * 16
+            bits[depth - 1] = len(vals)
+            out += _dht_segment(tc, th, bits, vals)
+            encs[(tc, th)] = _huff_encode_map(bits, vals)
+        out += b"\xff\xda" + struct.pack(">H", len(header) + 2) + header
+        bwr = _BitWriter()
+        for op in self.ops:
+            if op[0] == "s":
+                code, ln = encs[(op[1], op[2])][op[3]]
+                bwr.write(code, ln)
+            else:
+                bwr.write(op[1], op[2])
+        bwr.flush()
+        out += bwr.out
+
+
+def _enc_ac_first(
+    buf: _OpBuf, tid: int, zz: np.ndarray, bw: int, bh: int,
+    ss: int, se: int, al: int,
+) -> None:
+    """AC first scan body for one component (spec G.1.2.2 encoder side:
+    magnitude point transform, ZRL, accumulated EOB runs)."""
+    eob_run = 0
+
+    def flush() -> None:
+        nonlocal eob_run
+        if eob_run:
+            r = eob_run.bit_length() - 1
+            buf.sym(1, tid, r << 4)
+            buf.bits(eob_run & ((1 << r) - 1), r)
+            eob_run = 0
+
+    for b in range(bw * bh):
+        by, bx = divmod(b, bw)
+        band = zz[by, bx, ss : se + 1]
+        mags = np.abs(band) >> al
+        if not mags.any():
+            eob_run += 1
+            if eob_run == 0x7FFF:
+                flush()
+            continue
+        flush()
+        r = 0
+        for i in range(len(band)):
+            t = int(mags[i])
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                buf.sym(1, tid, 0xF0)
+                r -= 16
+            tv = t if band[i] >= 0 else -t
+            s = _category(tv)
+            buf.sym(1, tid, (r << 4) | s)
+            buf.bits(tv if tv >= 0 else tv + (1 << s) - 1, s)
+            r = 0
+        if r > 0:
+            eob_run += 1
+    flush()
+
+
+def _enc_ac_refine(
+    buf: _OpBuf, tid: int, zz: np.ndarray, bw: int, bh: int,
+    ss: int, se: int, al: int,
+) -> None:
+    """AC refinement scan body (spec G.1.2.3 encoder side: runs count
+    zero-HISTORY positions only; correction bits for already-nonzero
+    coefficients are buffered and flushed with the next symbol)."""
+    # Two correction-bit pools (libjpeg's BE vs BR split): bits from
+    # blocks folded into the pending EOB run travel WITH the EOBn symbol;
+    # the current block's own bits follow its next emitted symbol.
+    eob_run = 0
+    be_bits: list[int] = []  # bits owned by the pending EOB run
+    br_bits: list[int] = []  # current block's bits since its last symbol
+
+    def emit_br() -> None:
+        nonlocal br_bits
+        for bit in br_bits:
+            buf.bits(bit, 1)
+        br_bits = []
+
+    def flush_eob() -> None:
+        # EOBn symbol + extension bits, then the run's buffered correction
+        # bits (decoder consumes them while sweeping the run's
+        # nonzero-history positions)
+        nonlocal eob_run, be_bits
+        if eob_run:
+            r = eob_run.bit_length() - 1
+            buf.sym(1, tid, r << 4)
+            buf.bits(eob_run & ((1 << r) - 1), r)
+            eob_run = 0
+            for bit in be_bits:
+                buf.bits(bit, 1)
+            be_bits = []
+
+    for b in range(bw * bh):
+        by, bx = divmod(b, bw)
+        band = zz[by, bx, ss : se + 1]
+        mags = np.abs(band) >> al
+        newly = np.nonzero(mags == 1)[0]
+        last_new = int(newly[-1]) if len(newly) else -1
+        r = 0
+        for i in range(len(band)):
+            t = int(mags[i])
+            if t == 0:
+                r += 1
+                continue
+            # ZRLs are emitted only when another newly-significant coef
+            # follows; trailing runs fold into the EOB run
+            while r > 15 and i <= last_new:
+                flush_eob()
+                buf.sym(1, tid, 0xF0)
+                r -= 16
+                emit_br()
+            if t > 1:
+                br_bits.append(t & 1)
+                continue
+            flush_eob()
+            buf.sym(1, tid, (r << 4) | 1)
+            buf.bits(1 if band[i] > 0 else 0, 1)
+            emit_br()
+            r = 0
+        if r > 0 or br_bits:
+            eob_run += 1
+            be_bits += br_bits
+            br_bits = []
+            if eob_run == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → progressive (SOF2) JFIF.
+
+    Scan script (libjpeg-style): interleaved DC first at Al=1 → per-
+    component AC bands 1-5 and 6-63 at Al=1 → interleaved DC refinement
+    → per-component AC refinement to Al=0.  Huffman tables are built per
+    scan from the actual symbol histogram (Annex K tables lack EOBn
+    codes)."""
+    (gray, h, w, factors, hmax, vmax, mcux, mcuy, tensors, dims,
+     ql, qc) = _coef_tensors(img, quality, subsampling)
+    nc = len(factors)
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tq, q in ((0, ql),) if gray else ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(q[z]) for z in ZIGZAG
+        )
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        hi, vi = factors[i]
+        sof += bytes([i + 1, hi << 4 | vi, 0 if i == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+
+    tid_of = [0] + [1] * (nc - 1)
+
+    # scan 1: DC first, interleaved, Al=1
+    buf = _OpBuf()
+    preds = [0] * nc
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(nc):
+            hi, vi = factors[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    d = int(tensors[ci][my * vi + by, mx * hi + bx, 0]) >> 1
+                    diff = d - preds[ci]
+                    preds[ci] = d
+                    s = _category(diff)
+                    buf.sym(0, tid_of[ci], s)
+                    buf.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    hdr = bytes([nc])
+    for ci in range(nc):
+        hdr += bytes([ci + 1, tid_of[ci] << 4])
+    buf.emit(out, hdr + bytes([0, 0, 0x01]))  # Ss=0 Se=0 Ah=0 Al=1
+
+    # scans 2..: AC first bands at Al=1, per component
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(nc):
+            buf = _OpBuf()
+            bw, bh = dims[ci]
+            _enc_ac_first(buf, tid_of[ci], tensors[ci], bw, bh, ss, se, 1)
+            hdr = bytes([1, ci + 1, tid_of[ci]])
+            buf.emit(out, hdr + bytes([ss, se, 0x01]))
+
+    # DC refinement (bits only, no Huffman symbols)
+    bwr = _BitWriter()
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(nc):
+            hi, vi = factors[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    bwr.write(
+                        int(tensors[ci][my * vi + by, mx * hi + bx, 0]) & 1, 1
+                    )
+    bwr.flush()
+    hdr = bytes([nc])
+    for ci in range(nc):
+        hdr += bytes([ci + 1, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(hdr) + 5) + hdr
+    out += bytes([0, 0, 0x10])  # Ss=0 Se=0 Ah=1 Al=0
+    out += bwr.out
+
+    # AC refinement to Al=0, per component
+    for ci in range(nc):
+        buf = _OpBuf()
+        bw, bh = dims[ci]
+        _enc_ac_refine(buf, tid_of[ci], tensors[ci], bw, bh, 1, 63, 0)
+        hdr = bytes([1, ci + 1, tid_of[ci]])
+        buf.emit(out, hdr + bytes([1, 63, 0x10]))
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Magic-sniffing decode: PPM (P6) / PNG / baseline JPEG → RGB."""
+    """Magic-sniffing decode: PPM (P6) / PNG / JPEG → RGB."""
     if data[:2] == b"P6":
         from .pixels import decode_ppm
 
@@ -725,4 +1183,4 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_png(data)
     if data[:2] == b"\xff\xd8":
         return decode_jpeg(data)
-    raise ValueError("unrecognized image format (not PPM/PNG/baseline JPEG)")
+    raise ValueError("unrecognized image format (not PPM/PNG/JPEG)")

@@ -106,14 +106,15 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
 
 
 def decode_stub(payload: bytes) -> "object":
-    """Image decode is REAL now: PPM, PNG (full 8-bit, all filters) and
-    baseline JPEG (Huffman+IDCT, 4:4:4/4:2:2/4:2:0, restart markers) are
-    implemented numpy-only in ops/codecs.py and oracle-checked via the
+    """Image decode is REAL now: PPM, PNG (full 8-bit, all filters,
+    Adam7 interlace) and JPEG (baseline SOF0 + progressive SOF2,
+    Huffman+IDCT, 4:4:4/4:2:2/4:2:0, restart markers) are implemented
+    numpy-only in ops/codecs.py and oracle-checked via the
     image_autocrop / image_autocrop_png / image_autocrop_jpeg queries.
     This stub marks only the remaining NON-image boundary (audio/video:
     libsndfile/ffmpeg are not in this container) plus exotic image
-    variants the decoders reject explicitly (progressive JPEG, Adam7
-    PNG, 16-bit depths)."""
+    variants the decoders reject explicitly (arithmetic-coded JPEG,
+    16-bit depths)."""
     if payload[:2] in (b"P6", b"\xff\xd8") or payload[:8].startswith(
         b"\x89PNG"
     ):

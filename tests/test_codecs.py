@@ -162,12 +162,35 @@ def test_jpeg_odd_dimensions():
 def test_jpeg_rejections():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01")
-    # progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    # extended sequential (SOF1) stays rejected: flip FFC0 → FFC1
     data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     i = bytes(data).index(b"\xff\xc0")
-    data[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    data[i + 1] = 0xC1
+    with pytest.raises(ValueError, match="frame type"):
         decode_jpeg(bytes(data))
+
+
+def test_jpeg_progressive_matches_baseline():
+    """SOF2 decode: the progressive encoder (DC/AC first at Al=1,
+    refinement scans to Al=0, EOB runs, per-scan Huffman tables) must
+    reconstruct the SAME quantized coefficients as the baseline stream —
+    so decoded pixels are byte-identical to the baseline decode."""
+    from dpo_ocr_spark.ops.codecs import encode_jpeg_progressive
+
+    for shape, sub in [
+        ((16, 16), "444"),        # gray, aligned
+        ((7, 9), "444"),          # gray, sub-MCU
+        ((24, 40, 3), "444"),
+        ((20, 12, 3), "420"),     # padded grid vs true block dims
+        ((17, 23, 3), "422"),
+        ((33, 31, 3), "420"),
+    ]:
+        img = RNG.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, 80, sub if img.ndim == 3 else "444"))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, 80, sub if img.ndim == 3 else "444")
+        )
+        assert np.array_equal(base, prog), (shape, sub)
 
 
 # --- dispatch ---------------------------------------------------------------
