@@ -114,20 +114,47 @@ def training_jsonl(spans: DataFrame) -> DataFrame:
 
 
 def tokens_csv(tokens: DataFrame, path: str) -> None:
-    """S8: word rows in the reference's 14-column CSV schema.  The
-    reference quotes non-numeric fields (QUOTE_NONNUMERIC,
-    old/ocr_to_csv.py:33); Spark's csv writer quotes on demand — we quote
-    all to stay parseable (documented deviation, values identical)."""
-    out = tokens.select(
-        "word_text", "block", "page", "word", "word_line", "confidence",
+    """S8: word rows in the reference's 14-column CSV schema with EXACT
+    ``csv.QUOTE_NONNUMERIC`` semantics (old/ocr_to_csv.py:33): string
+    fields and every header cell quoted (embedded quotes doubled),
+    numeric fields bare.  Spark's csv writer has no per-type quoting, so
+    rows are rendered JVM-side (concat_ws over casts) and written as
+    text, with the quoted header prepended once per partition inside the
+    Arrow batch iterator.  Float rendering: confidence ∈ [0, 1], where
+    Java's Double.toString and Python's repr agree (no exponent form)."""
+    quoted = F.concat(
+        F.lit('"'),
+        F.regexp_replace("word_text", '"', '""'),
+        F.lit('"'),
+    )
+    line = F.concat_ws(
+        ",",
+        quoted,
+        F.col("block").cast("string"),
+        F.col("page").cast("string"),
+        F.col("word").cast("string"),
+        F.col("word_line").cast("string"),
+        F.col("confidence").cast("string"),
         *[
-            F.coalesce(F.element_at("bbox", i + 1), F.lit(0)).alias(c)
-            for i, c in enumerate(CSV_COLUMNS[6:])
+            F.coalesce(F.element_at("bbox", i + 1), F.lit(0)).cast("string")
+            for i in range(8)
         ],
     )
-    out.write.mode("overwrite").option("header", True).option(
-        "quoteAll", True
-    ).csv(path)
+    header = ",".join(f'"{c}"' for c in CSV_COLUMNS)
+
+    def with_header(it):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        first = True
+        for pdf in it:
+            if first:
+                yield pd.DataFrame({"value": [header]})
+                first = False
+            yield pdf
+
+    tokens.select(line.alias("value")).mapInPandas(
+        with_header, "value string"
+    ).write.mode("overwrite").text(path)
 
 
 def fulltext_sink(extracted: DataFrame, path: str) -> None:

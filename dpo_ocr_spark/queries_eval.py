@@ -199,10 +199,19 @@ _register(
 # Thresholds + quirks are pinned in tests/test_auto_match.py instead.
 
 
-def _q_auto_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _auto_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-shared auto table (stagecache: auto_match /
+    eval_accuracy_auto re-derive the same cascade)."""
     from .interpret.auto_match import auto_match
+    from .stagecache import shared
 
-    return auto_match(spark, sf_dir)
+    return shared(
+        spark, f"auto_table:{sf_dir}", lambda: auto_match(spark, sf_dir)
+    )
+
+
+def _q_auto_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _auto_table(spark, sf_dir)
 
 
 _register("auto_match", _q_auto_match)
@@ -212,10 +221,10 @@ def _q_accuracy_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's published accuracy tables (ui/app_ento.R:556-620)
     are computed over the auto TABLE, not interpret output — this is that
     variant."""
-    from .interpret.auto_match import AUTO_SIZES, auto_match
+    from .interpret.auto_match import AUTO_SIZES
 
     return H.accuracy_over_auto(
-        spark, sf_dir, auto_match(spark, sf_dir), AUTO_SIZES
+        spark, sf_dir, _auto_table(spark, sf_dir), AUTO_SIZES
     )
 
 

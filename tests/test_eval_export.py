@@ -238,3 +238,35 @@ def test_form_fields_pairing_and_confidences(spark):
     assert r.field_name == "Field Name" and r.value == "The Value"
     assert r.field_confidence == (90 + 80) / 200.0
     assert r.value_confidence == (100 + 50) / 200.0
+
+
+def test_tokens_csv_quote_nonnumeric_exact(tmp_path, spark):
+    """S8 writes byte-exact csv.QUOTE_NONNUMERIC rows (the reference's
+    old/ocr_to_csv.py:33 writer): strings and header cells quoted with
+    embedded quotes doubled, numerics bare."""
+    import csv
+    import glob
+    import io
+
+    from dpo_ocr_spark.export import CSV_COLUMNS, tokens_csv
+
+    rows = [
+        ("plain", 1, 1, 0, 2, 0.95, [1, 2, 3, 4, 5, 6, 7, 8]),
+        ('say "hi", ok', 2, 1, 1, 3, 1.0, None),
+    ]
+    tokens = spark.createDataFrame(
+        rows,
+        "word_text string, block int, page int, word int, word_line int,"
+        "confidence double, bbox array<int>",
+    ).coalesce(1)
+    p = str(tmp_path / "csv")
+    tokens_csv(tokens, p)
+    got = open(sorted(glob.glob(p + "/part-*"))[0]).read().splitlines()
+
+    buf = io.StringIO()
+    wr = csv.writer(buf, quoting=csv.QUOTE_NONNUMERIC)
+    wr.writerow(CSV_COLUMNS)
+    for wt, blk, pg, wd, wl, conf, bbox in rows:
+        wr.writerow([wt, blk, pg, wd, wl, conf] + (bbox or [0] * 8))
+    want = buf.getvalue().splitlines()
+    assert got == want
