@@ -162,14 +162,30 @@ def _png_chunk(typ: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", len(payload)) + typ + payload + struct.pack(">I", crc)
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 RGB → PNG, filter 0 scanlines (lossless)."""
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG, filter 0 scanlines (lossless);
+    ``interlace=True`` writes the Adam7 pass layout."""
     h, w, c = img.shape
     assert c == 3 and img.dtype == np.uint8
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raster = np.concatenate(
-        [np.zeros((h, 1), np.uint8), img.reshape(h, w * 3)], axis=1
-    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    if not interlace:
+        raster = np.concatenate(
+            [np.zeros((h, 1), np.uint8), img.reshape(h, w * 3)], axis=1
+        ).tobytes()
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            parts.append(
+                np.concatenate(
+                    [np.zeros((ph, 1), np.uint8), sub.reshape(ph, pw * 3)],
+                    axis=1,
+                ).tobytes()
+            )
+        raster = b"".join(parts)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)

@@ -203,10 +203,14 @@ def image_autocrop(
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .codecs import decode_image, encode_jpeg, encode_png
 
+        from .codecs import encode_jpeg_progressive
+
         encoders = {
             "ppm": lambda im: encode_ppm(im),
             "png": encode_png,
+            "png_adam7": lambda im: encode_png(im, interlace=True),
             "jpeg": lambda im: encode_jpeg(im, 92, "420"),
+            "jpeg_prog": lambda im: encode_jpeg_progressive(im, 92, "420"),
         }
         enc = encoders[codec]
         for pdf in it:

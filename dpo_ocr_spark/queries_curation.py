@@ -294,6 +294,19 @@ _register(
     lambda spark, sf_dir: image_autocrop(spark, sf_dir, codec="jpeg"),
     IMAGE_AUTOCROP_ORACLE,
 )
+# r4 codec additions through the same pixel pipeline + oracle: Adam7
+# interlace is lossless; progressive decode is byte-identical to the
+# baseline decode of the same image (pinned in tests/test_codecs.py)
+_register(
+    "image_autocrop_png_adam7",
+    lambda spark, sf_dir: image_autocrop(spark, sf_dir, codec="png_adam7"),
+    IMAGE_AUTOCROP_ORACLE,
+)
+_register(
+    "image_autocrop_jpeg_prog",
+    lambda spark, sf_dir: image_autocrop(spark, sf_dir, codec="jpeg_prog"),
+    IMAGE_AUTOCROP_ORACLE,
+)
 
 
 def _cluster_reps_oracle() -> str:

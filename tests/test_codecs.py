@@ -300,5 +300,8 @@ def test_png_adam7_roundtrip():
         )
         got = decode_png(png)
         assert np.array_equal(got, img), (h, w)
-        # and the plain encoder round-trips to the same pixels
+        # and both encoder modes round-trip to the same pixels
         assert np.array_equal(decode_png(encode_png(img)), img)
+        assert np.array_equal(
+            decode_png(encode_png(img, interlace=True)), img
+        )

@@ -107,3 +107,49 @@ def test_partitioned_sink_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(lang" in plan, plan
     n_en = docs.filter("lang = 'en'").count()
     assert df.count() == n_en
+
+
+def test_form_fields_single_shuffle(spark):
+    """form_fields is ONE conditional aggregation: exactly one hash
+    exchange (the groupBy), no join, no second pass over the tokens —
+    the shape that holds at 10^12 documents."""
+    from pyspark.sql import functions as F
+
+    from dpo_ocr_spark.export import form_fields
+
+    tokens = spark.createDataFrame(
+        [("u", 1, 0, 0, "k", 0.9, [0, 0, 40, 0, 40, 18, 0, 18]),
+         ("u", 1, 0, 1, "v", 0.8, [400, 0, 440, 0, 440, 18, 400, 18])],
+        "url string, page int, block int, word int, word_text string,"
+        "confidence double, bbox array<int>",
+    )
+    df = form_fields(tokens)
+    # AQE's toString appends the pre-adaptive Initial Plan — count
+    # exchanges in the executed Final Plan section only
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "partial_" in plan, plan  # map-side combine present
+
+
+def test_expand_locality_broadcasts_hierarchy(spark):
+    """expand_locality joins the corpus-sized locality rows against the
+    ≤530-row admin hierarchy: both joins (hierarchy, blocks) must stay
+    broadcast — never a shuffled join keyed on the big side."""
+    import __spark_entry__  # noqa: F401 — path setup
+
+    from dpo_ocr_spark.interpret.dims import gazetteer, gazetteer_hierarchy
+    from dpo_ocr_spark.interpret.labels import ento_blocks
+    from dpo_ocr_spark.interpret.match import (
+        dedup_line_grain,
+        expand_locality,
+        match_localities,
+    )
+
+    sd = SD
+    blocks = ento_blocks(spark, sd)
+    locs = dedup_line_grain(match_localities(spark, blocks, gazetteer(spark, sd)))
+    df = expand_locality(locs, blocks, gazetteer_hierarchy(spark, sd))
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
