@@ -242,10 +242,12 @@ def _q_accuracy_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     hierarchy, district_county scores 0% exact because the county pass
     inserts the full matched candidate text, not the bare county."""
     from .interpret.auto_match import AUTO_SIZES, auto_geo
+    from .stagecache import shared
 
-    return H.accuracy_over_auto(
-        spark, sf_dir, auto_geo(spark, sf_dir), AUTO_SIZES
+    geo = shared(
+        spark, f"auto_geo_table:{sf_dir}", lambda: auto_geo(spark, sf_dir)
     )
+    return H.accuracy_over_auto(spark, sf_dir, geo, AUTO_SIZES)
 
 
 _register("eval_accuracy_geo", _q_accuracy_geo)
