@@ -250,6 +250,38 @@ def test_jpeg_decode_total_on_own_encoder(h, w, quality, mode, seed):
     assert dec.shape == (h, w, 3)
 
 
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31),
+)
+def test_png_adam7_roundtrip_any_shape(h, w, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img, interlace=True)) == img).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    quality=st.integers(30, 95),
+    mode=st.sampled_from(["444", "422", "420"]),
+    seed=st.integers(0, 2**31),
+)
+def test_jpeg_progressive_equals_baseline_any_shape(h, w, quality, mode, seed):
+    """For any dims/quality/subsampling, the progressive stream must
+    decode to EXACTLY the baseline decode of the same image."""
+    from dpo_ocr_spark.ops.codecs import encode_jpeg_progressive
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality, mode))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality, mode))
+    assert np.array_equal(base, prog)
+
+
 @settings(max_examples=60, deadline=None)
 @given(data=st.binary(min_size=0, max_size=400))
 def test_decoders_raise_cleanly_on_garbage(data):
