@@ -182,6 +182,87 @@ def shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingles_of(_docs(spark, sf_dir))
 
 
+SUBSTR_K = 8  # tokens per window for exact-substring duplicate spans
+
+
+def substring_dedup(
+    spark: SparkSession, sf_dir: str, k: int = SUBSTR_K
+) -> DataFrame:
+    """ExactSubstr-style repeated-substring detection (the
+    suffix-duplication method of "Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022, at word granularity): a
+    k-token window is a duplicate when its exact text occurs ≥2 times
+    anywhere in the corpus (within- or cross-document); overlapping
+    duplicate windows merge into maximal spans per document.
+
+    Output per document (all integers, oracle-exact): token count,
+    number of maximal duplicate spans, duplicated-token total, and
+    per-mille duplicated fraction — the per-doc signal a curation pass
+    thresholds on (consumers can equally cut the spans themselves, which
+    are (min_i, max_i + k - 1) per span group).
+
+    Scale shape at 10¹² docs: window fingerprints are md5-int64 of the
+    k-gram — positions shuffle ONCE on fp for the global count, the
+    duplicate-fp set joins back fp-partitioned (no row explosion: each
+    position matches exactly one fp row, hot boilerplate fps cost counts
+    only), then ONE shuffle on doc_id for the gaps-and-islands merge.
+    No pair enumeration anywhere — unlike MinHash/Jaccard this never
+    materializes doc×doc candidates."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    ws = docs.select(
+        "doc_id", F.expr(_WS_SQL).alias("w")
+    ).withColumn("n_words", F.size("w"))
+    grams = (
+        ws.filter(F.col("n_words") >= k)
+        .select(
+            "doc_id", "n_words", "w",
+            F.explode(F.expr(f"sequence(1, size(w) - {k} + 1)")).alias("i"),
+        )
+        .select(
+            "doc_id", "n_words", "i",
+            md5_int63(F.expr(f"concat_ws(' ', slice(w, i, {k}))")).alias("fp"),
+        )
+    )
+    dup_fp = grams.groupBy("fp").agg(F.count("*").alias("c")).filter(
+        F.col("c") >= 2
+    ).select("fp")
+    dup_pos = grams.join(dup_fp, "fp")
+    w_doc = W.partitionBy("doc_id").orderBy("i")
+    flagged = dup_pos.withColumn(
+        "new_span",
+        F.when(F.col("i") - F.lag("i").over(w_doc) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(
+            w_doc.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    spans = flagged.groupBy("doc_id", "n_words", "span_id").agg(
+        F.min("i").alias("s"), (F.max("i") + k - 1).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id", "n_words").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_dup_tokens"),
+    )
+    return (
+        ws.select("doc_id", "n_words")
+        .join(per_doc.drop("n_words"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+            F.expr(
+                "CAST(coalesce(n_dup_tokens, 0) * 1000 DIV n_words AS BIGINT)"
+            ).alias("dup_per_mille"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     spark: SparkSession,
     sf_dir: str,

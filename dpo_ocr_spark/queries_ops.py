@@ -798,3 +798,57 @@ FROM documents d LEFT JOIN bits USING (doc_id)
 GROUP BY d.doc_id
 """,
 )
+
+
+# --- ExactSubstr-style repeated-substring spans (r4) -------------------------
+
+_SUBSTR_K = D.SUBSTR_K
+_SUBSTR_FP = _MD5INT.format(
+    expr=f"array_to_string(w[i:i+{_SUBSTR_K - 1}], ' ')"
+)
+
+_register(
+    "substring_dedup",
+    D.substring_dedup,
+    f"""
+WITH {_WS_CTE},
+g AS (
+  SELECT doc_id, n_words, i, {_SUBSTR_FP} AS fp
+  FROM (
+    SELECT doc_id, w, len(w) AS n_words,
+           unnest(generate_series(1, len(w) - {_SUBSTR_K} + 1)) AS i
+    FROM ws WHERE len(w) >= {_SUBSTR_K}
+  ) t
+),
+dup AS (SELECT fp FROM g GROUP BY fp HAVING COUNT(*) >= 2),
+dp AS (SELECT g.* FROM g JOIN dup USING (fp)),
+fl AS (
+  SELECT doc_id, n_words, i,
+         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                   <= {_SUBSTR_K} THEN 0 ELSE 1 END AS new_span
+  FROM dp
+),
+sp AS (
+  SELECT doc_id, n_words, i,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM fl
+),
+spans AS (
+  SELECT doc_id, n_words, span_id,
+         MIN(i) AS s, MAX(i) + {_SUBSTR_K} - 1 AS e
+  FROM sp GROUP BY doc_id, n_words, span_id
+),
+per_doc AS (
+  SELECT doc_id, n_words, COUNT(*) AS n_dup_spans,
+         SUM(e - s + 1) AS n_dup_tokens
+  FROM spans GROUP BY doc_id, n_words
+)
+SELECT ws.doc_id, len(ws.w) AS n_words,
+       CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(COALESCE(p.n_dup_tokens, 0) * 1000 // len(ws.w) AS BIGINT)
+         AS dup_per_mille
+FROM ws LEFT JOIN per_doc p ON ws.doc_id = p.doc_id
+""",
+)

@@ -383,3 +383,47 @@ def test_vertical_tab_corpus_oracle_green(spark, tmp_path):
     tc = {r.doc_id: r.n_words
           for r in qs["token_counts"](spark, str(tmp_path)).collect()}
     assert tc[1] == 3
+
+
+def test_substring_dedup_spans(spark, tmp_path):
+    """ExactSubstr-style spans: a k-gram repeated across docs (or within
+    one doc) marks overlapping windows that merge into maximal spans;
+    unique text scores zero."""
+    import pandas as pd
+
+    from dpo_ocr_spark.ops.dedup import SUBSTR_K, substring_dedup
+
+    k = SUBSTR_K
+    shared = " ".join(f"tok{i}" for i in range(k + 2))       # k+2 tokens
+    uniq_a = " ".join(f"aaa{i}" for i in range(5))
+    uniq_b = " ".join(f"bbb{i}" for i in range(7))
+    inner = " ".join(f"rep{i % k}" for i in range(2 * k))     # self-repeat
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                f"{uniq_a} {shared}",      # shares the k+2 window with doc 1
+                f"{shared} {uniq_b}",
+                "only unique words here never repeated anywhere else at all",
+                inner,                      # within-doc period-k repetition
+            ],
+            "lang": ["en"] * 4,
+        }
+    )
+    sd = str(tmp_path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(docs), f"{sd}/documents.parquet")
+    out = {r.doc_id: r for r in substring_dedup(spark, sd).collect()}
+    assert len(out) == 4
+    # docs 0/1: the shared (k+2)-token run yields 3 duplicate k-windows
+    # merging into ONE span of k+2 tokens
+    assert out[0].n_dup_spans == 1 and out[0].n_dup_tokens == k + 2
+    assert out[1].n_dup_spans == 1 and out[1].n_dup_tokens == k + 2
+    # doc 2: nothing repeated
+    assert out[2].n_dup_spans == 0 and out[2].dup_per_mille == 0
+    # doc 3: period-k self repetition → every window duplicated → one
+    # span covering the whole doc
+    assert out[3].n_dup_spans == 1 and out[3].n_dup_tokens == 2 * k
+    assert out[3].dup_per_mille == 1000
