@@ -42,8 +42,7 @@ def golden_transcription(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the synthetic GADM mapping (country := initcap(region),
     state := initcap(nation), county := fixed list by k%10) — the same
     generation truth the block fixture (labels.ento_blocks) renders."""
-    from ..interpret.dims import _COUNTIES
-    from ..interpret.labels import PRECISE_TAILS
+    from ..interpret.labels import county_col, tail_col
 
     orders = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -58,15 +57,8 @@ def golden_transcription(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     k = F.col("o_orderkey")
-    # k/100-indexed (labels are multiples of 100 — k % 10/5 is degenerate)
-    county = F.element_at(
-        F.array(*[F.lit(c) for c in _COUNTIES]),
-        ((k / 100) % 10 + 1).cast("int"),
-    )
-    tail = F.element_at(
-        F.array(*[F.lit(t) for t in PRECISE_TAILS]),
-        ((k / 100) % 5 + 1).cast("int"),
-    )
+    county = county_col(k)
+    tail = tail_col(k)
     return o.select(
         F.concat(F.lit("label://"), k).alias("url"),
         k.alias("k"),

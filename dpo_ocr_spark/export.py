@@ -122,19 +122,29 @@ def tokens_csv(tokens: DataFrame, path: str) -> None:
     text, with the quoted header prepended once per partition inside the
     Arrow batch iterator.  Float rendering: confidence ∈ [0, 1], where
     Java's Double.toString and Python's repr agree (no exponent form)."""
-    quoted = F.concat(
-        F.lit('"'),
-        F.regexp_replace("word_text", '"', '""'),
-        F.lit('"'),
+    # NULL cells render as quoted-empty, exactly like csv.writer under
+    # QUOTE_NONNUMERIC (None → "" → non-numeric → quoted); never let a
+    # NULL vanish inside concat_ws and shift the row left
+    quoted = F.coalesce(
+        F.concat(
+            F.lit('"'),
+            F.regexp_replace("word_text", '"', '""'),
+            F.lit('"'),
+        ),
+        F.lit('""'),
     )
+
+    def num(col: str) -> F.Column:
+        return F.coalesce(F.col(col).cast("string"), F.lit('""'))
+
     line = F.concat_ws(
         ",",
         quoted,
-        F.col("block").cast("string"),
-        F.col("page").cast("string"),
-        F.col("word").cast("string"),
-        F.col("word_line").cast("string"),
-        F.col("confidence").cast("string"),
+        num("block"),
+        num("page"),
+        num("word"),
+        num("word_line"),
+        num("confidence"),
         *[
             F.coalesce(F.element_at("bbox", i + 1), F.lit(0)).cast("string")
             for i in range(8)

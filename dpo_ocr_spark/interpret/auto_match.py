@@ -216,11 +216,26 @@ def _auto_rows(
     """Pre-dedup upsert rows of the auto table: the 8-field dictionary
     cascade (pass 0) + the active geo country pass (pass 1,
     auto_id_compare.py:519-560 — the gazetteer is the gadm0/country
-    level, here the initcap region names)."""
+    level, here the initcap region names).
+
+    The default-fixture path is stage-cached: auto_match AND auto_geo
+    both consume these rows, and the fuzzy-DP cascade is the most
+    expensive interpret stage — without the memo a gate run would
+    execute it twice."""
     from .dims import _gadm
     from .labels import auto_blocks
 
     sizes = sizes or AUTO_SIZES
+    if blocks is None and sizes == AUTO_SIZES:
+        from ..stagecache import shared
+
+        return shared(
+            spark,
+            f"auto_rows:{sf_dir}",
+            lambda: _auto_rows(
+                spark, sf_dir, auto_blocks(spark, sf_dir), sizes
+            ),
+        )
     if blocks is None:
         blocks = auto_blocks(spark, sf_dir)
     dicts = _ref_dictionaries(spark, sf_dir, sizes)

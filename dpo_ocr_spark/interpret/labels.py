@@ -25,10 +25,34 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-# precise-locality tails (k % 5).  Constraint: no digits (date cascade),
-# no trailing ' or m (elevation rule), short enough that the sorted-token
-# fuzz.ratio of the full block vs the county gazetteer name stays ≥ 80.
+# precise-locality tails (indexed by k/100 % 5).  Constraint: no digits,
+# no trailing ' or m (date/elevation rules), short enough that the
+# sorted-token fuzz.ratio of the block vs the county name stays ≥ 80.
 PRECISE_TAILS = ["camp", "ridge", "valley", "spring", "summit"]
+
+
+def county_col(k):  # noqa: ANN001, ANN201 — F.Column in/out
+    """County name by label key — THE shared derivation (fixture +
+    golden + the SQL twins in queries_eval must stay in lockstep).
+    Index on k/100, not k: label keys are multiples of 100, so k % m is
+    degenerate for m | 100."""
+    from pyspark.sql import functions as F
+
+    from .dims import _COUNTIES
+
+    return F.element_at(
+        F.array(*[F.lit(c) for c in _COUNTIES]), ((k / 100) % 10 + 1).cast("int")
+    )
+
+
+def tail_col(k):  # noqa: ANN001, ANN201
+    """Precise-locality tail by label key (see county_col)."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(
+        F.array(*[F.lit(t) for t in PRECISE_TAILS]),
+        ((k / 100) % 5 + 1).cast("int"),
+    )
 
 ROMAN_OF_MONTH = [
     None, "I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX", "X",
@@ -87,8 +111,6 @@ def ento_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``expand_locality`` derives district_county / state_territory /
     country / precise_locality — the locality family of the reference
     golden schema (database/transcription_ento.sql:6-10)."""
-    from .dims import _COUNTIES
-
     orders = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .filter(F.col("o_orderkey") % 100 == 0)
@@ -104,16 +126,8 @@ def ento_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.initcap("n_name").alias("state"),
         )
     )
-    # index on k/100, not k: label keys are multiples of 100, so k % m is
-    # degenerate for m | 100 — k/100 walks the county/tail lists
-    county = F.element_at(
-        F.array(*[F.lit(c) for c in _COUNTIES]),
-        ((F.col("k") / 100) % 10 + 1).cast("int"),
-    )
-    tail = F.element_at(
-        F.array(*[F.lit(t) for t in PRECISE_TAILS]),
-        ((F.col("k") / 100) % 5 + 1).cast("int"),
-    )
+    county = county_col(F.col("k"))
+    tail = tail_col(F.col("k"))
     b4 = o.select(
         "url", F.lit(4).alias("block"), F.lit(4).alias("word_line"),
         F.concat(county, F.lit(" Co., "), F.col("state"), F.lit(" "), tail)

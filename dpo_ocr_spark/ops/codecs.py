@@ -589,7 +589,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
             pos += ln
             h, w, comps = frame
-            comp_by_id = {cid: (hi, v, tq) for cid, hi, v, tq in comps}
             scan_tabs = {cs: (dc, ac) for cs, dc, ac in scan}
             br = _BitReader(data, pos)
             st = _ScanState(comps)

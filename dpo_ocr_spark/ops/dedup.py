@@ -208,12 +208,47 @@ def substring_dedup(
     only), then ONE shuffle on doc_id for the gaps-and-islands merge.
     No pair enumeration anywhere — unlike MinHash/Jaccard this never
     materializes doc×doc candidates."""
+    spans = substring_dup_spans(spark, sf_dir, k)
+    per_doc = spans.groupBy("doc_id", "n_words").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_dup_tokens"),
+    )
+    ws = _substring_words(spark, sf_dir)
+    return (
+        ws.select("doc_id", "n_words")
+        .join(per_doc.drop("n_words"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+            F.expr(
+                "CAST(coalesce(n_dup_tokens, 0) * 1000 DIV n_words AS BIGINT)"
+            ).alias("dup_per_mille"),
+        )
+    )
+
+
+def _substring_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(_WS_SQL).alias("w"))
+        .withColumn("n_words", F.size("w"))
+    )
+
+
+def substring_dup_spans(
+    spark: SparkSession, sf_dir: str, k: int = SUBSTR_K
+) -> DataFrame:
+    """Maximal duplicate token intervals per document — the SINGLE
+    implementation of the fingerprint → dup-set → gaps-and-islands
+    pipeline (both the per-doc summary and the span-level cut list
+    derive from this frame, so the merge rule cannot drift between
+    them).  Columns: (doc_id, n_words, span_id, s, e), token positions
+    1-based inclusive."""
     from pyspark.sql import Window as W
 
-    docs = _docs(spark, sf_dir)
-    ws = docs.select(
-        "doc_id", F.expr(_WS_SQL).alias("w")
-    ).withColumn("n_words", F.size("w"))
+    ws = _substring_words(spark, sf_dir)
     grams = (
         ws.filter(F.col("n_words") >= k)
         .select(
@@ -228,9 +263,8 @@ def substring_dedup(
     dup_fp = grams.groupBy("fp").agg(F.count("*").alias("c")).filter(
         F.col("c") >= 2
     ).select("fp")
-    dup_pos = grams.join(dup_fp, "fp")
     w_doc = W.partitionBy("doc_id").orderBy("i")
-    flagged = dup_pos.withColumn(
+    flagged = grams.join(dup_fp, "fp").withColumn(
         "new_span",
         F.when(F.col("i") - F.lag("i").over(w_doc) <= k, F.lit(0)).otherwise(
             F.lit(1)
@@ -241,25 +275,8 @@ def substring_dedup(
             w_doc.rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
     )
-    spans = flagged.groupBy("doc_id", "n_words", "span_id").agg(
+    return flagged.groupBy("doc_id", "n_words", "span_id").agg(
         F.min("i").alias("s"), (F.max("i") + k - 1).alias("e")
-    )
-    per_doc = spans.groupBy("doc_id", "n_words").agg(
-        F.count("*").alias("n_dup_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).alias("n_dup_tokens"),
-    )
-    return (
-        ws.select("doc_id", "n_words")
-        .join(per_doc.drop("n_words"), "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
-            F.expr(
-                "CAST(coalesce(n_dup_tokens, 0) * 1000 DIV n_words AS BIGINT)"
-            ).alias("dup_per_mille"),
-        )
     )
 
 

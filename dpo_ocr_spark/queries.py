@@ -519,9 +519,16 @@ from . import queries_curation  # noqa: E402,F401
 # registered queries never received a driver row (VERDICT r3, What's wrong
 # #3).  The rotation below front-loads (a) the flagship pair, (b) the three
 # r3-disputed queries (so their green/FAIL row lands every round), (c) the
-# queries modified or added this round, then (d) every never-driver-checked
-# query.  The long-green r1 relational/interp block moves to the tail —
-# still registered, still covered by the local sweep (ORACLES_r{N}.txt).
+# first r4 wave of modified/added queries, then (d) the 40 oracle-backed
+# never-driver-checked queries — filling all 50 slots (the r3 VERDICT's
+# done-criterion: driver rows for ≥40 of the previously unchecked).
+# Deliberately OUTSIDE the sample, covered by the local sweep
+# (ORACLES_r{N}.txt) + the sf0.1 subset instead: eval_accuracy_auto
+# (rows-only — a driver row adds little over the pytest pins) and the
+# late-r4 additions (substring_dedup{,_spans}, image_autocrop_png_adam7 /
+# _jpeg_prog) — rotate those in next round once the 44-unchecked backlog
+# has its rows.  The long-green r1 relational/interp block stays at the
+# tail.
 # ---------------------------------------------------------------------------
 
 _FIRST = [
@@ -545,6 +552,7 @@ _FIRST = [
     "image_autocrop_png", "image_autocrop_jpeg",
     "cluster_representatives", "url_normalize", "unicode_normalize",
     "cube_summary",
+    # --- 50-slot boundary: everything below is outside the driver sample
     # rows-only but changed in r4 (8-field dictionaries)
     "eval_accuracy_auto",
 ]

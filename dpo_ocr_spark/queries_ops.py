@@ -807,11 +807,11 @@ _SUBSTR_FP = _MD5INT.format(
     expr=f"array_to_string(w[i:i+{_SUBSTR_K - 1}], ' ')"
 )
 
-_register(
-    "substring_dedup",
-    D.substring_dedup,
-    f"""
-WITH {_WS_CTE},
+# shared CTE chain producing the maximal duplicate spans — BOTH substring
+# oracles build on this one fragment (mirrors ops/dedup.substring_dup_spans
+# being the single Spark-side implementation)
+_SUBSTR_SPANS_CTES = f"""
+{_WS_CTE},
 g AS (
   SELECT doc_id, n_words, i, {_SUBSTR_FP} AS fp
   FROM (
@@ -821,12 +821,11 @@ g AS (
   ) t
 ),
 dup AS (SELECT fp FROM g GROUP BY fp HAVING COUNT(*) >= 2),
-dp AS (SELECT g.* FROM g JOIN dup USING (fp)),
 fl AS (
   SELECT doc_id, n_words, i,
          CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
                    <= {_SUBSTR_K} THEN 0 ELSE 1 END AS new_span
-  FROM dp
+  FROM (SELECT g.* FROM g JOIN dup USING (fp)) dp
 ),
 sp AS (
   SELECT doc_id, n_words, i,
@@ -838,7 +837,14 @@ spans AS (
   SELECT doc_id, n_words, span_id,
          MIN(i) AS s, MAX(i) + {_SUBSTR_K} - 1 AS e
   FROM sp GROUP BY doc_id, n_words, span_id
-),
+)
+"""
+
+_register(
+    "substring_dedup",
+    D.substring_dedup,
+    f"""
+WITH {_SUBSTR_SPANS_CTES},
 per_doc AS (
   SELECT doc_id, n_words, COUNT(*) AS n_dup_spans,
          SUM(e - s + 1) AS n_dup_tokens
@@ -857,46 +863,13 @@ FROM ws LEFT JOIN per_doc p ON ws.doc_id = p.doc_id
 def _q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The span-level output of substring_dedup: the maximal duplicate
     token intervals [s, e] per document — the cut list a curation pass
-    applies (remove-or-truncate per Lee et al.'s ExactSubstr cut step)."""
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
-
-    from .ops.dedup import SUBSTR_K, _WS_SQL, _docs, md5_int63
-
-    k = SUBSTR_K
-    docs = _docs(spark, sf_dir)
-    ws = docs.select("doc_id", F.expr(_WS_SQL).alias("w")).withColumn(
-        "n_words", F.size("w")
-    )
-    grams = (
-        ws.filter(F.col("n_words") >= k)
-        .select(
-            "doc_id", "w",
-            F.explode(F.expr(f"sequence(1, size(w) - {k} + 1)")).alias("i"),
-        )
-        .select(
-            "doc_id", "i",
-            md5_int63(F.expr(f"concat_ws(' ', slice(w, i, {k}))")).alias("fp"),
-        )
-    )
-    dup_fp = grams.groupBy("fp").agg(F.count("*").alias("c")).filter(
-        F.col("c") >= 2
-    ).select("fp")
-    w_doc = W.partitionBy("doc_id").orderBy("i")
-    flagged = grams.join(dup_fp, "fp").withColumn(
-        "new_span",
-        F.when(F.col("i") - F.lag("i").over(w_doc) <= k, F.lit(0)).otherwise(
-            F.lit(1)
-        ),
-    ).withColumn(
-        "span_id",
-        F.sum("new_span").over(
-            w_doc.rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
-    )
-    return flagged.groupBy("doc_id", "span_id").agg(
-        F.min("i").alias("span_start"),
-        (F.max("i") + k - 1).alias("span_end"),
+    applies (remove-or-truncate per Lee et al.'s ExactSubstr cut step).
+    Derives from the same ops/dedup.substring_dup_spans frame as the
+    per-doc summary."""
+    return D.substring_dup_spans(spark, sf_dir).select(
+        "doc_id", "span_id",
+        D.F.col("s").alias("span_start"),
+        D.F.col("e").alias("span_end"),
     )
 
 
@@ -904,31 +877,9 @@ _register(
     "substring_dedup_spans",
     _q_substring_spans,
     f"""
-WITH {_WS_CTE},
-g AS (
-  SELECT doc_id, i, {_SUBSTR_FP} AS fp
-  FROM (
-    SELECT doc_id, w,
-           unnest(generate_series(1, len(w) - {_SUBSTR_K} + 1)) AS i
-    FROM ws WHERE len(w) >= {_SUBSTR_K}
-  ) t
-),
-dup AS (SELECT fp FROM g GROUP BY fp HAVING COUNT(*) >= 2),
-fl AS (
-  SELECT doc_id, i,
-         CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
-                   <= {_SUBSTR_K} THEN 0 ELSE 1 END AS new_span
-  FROM (SELECT g.* FROM g JOIN dup USING (fp)) dp
-),
-sp AS (
-  SELECT doc_id, i,
-         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
-  FROM fl
-)
-SELECT doc_id, span_id,
-       MIN(i) AS span_start,
-       CAST(MAX(i) + {_SUBSTR_K} - 1 AS BIGINT) AS span_end
-FROM sp GROUP BY doc_id, span_id
+WITH {_SUBSTR_SPANS_CTES}
+SELECT doc_id, span_id, s AS span_start,
+       CAST(e AS BIGINT) AS span_end
+FROM spans
 """,
 )

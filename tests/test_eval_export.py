@@ -253,6 +253,8 @@ def test_tokens_csv_quote_nonnumeric_exact(tmp_path, spark):
     rows = [
         ("plain", 1, 1, 0, 2, 0.95, [1, 2, 3, 4, 5, 6, 7, 8]),
         ('say "hi", ok', 2, 1, 1, 3, 1.0, None),
+        # NULL cells must render as quoted-empty like csv's None → ""
+        (None, 3, 1, 2, None, None, [9, 9, 9, 9, 9, 9, 9, 9]),
     ]
     tokens = spark.createDataFrame(
         rows,
