@@ -661,10 +661,10 @@ WITH per_src AS (
 ), tot AS (
   SELECT SUM(tokens) AS t_total, COUNT(*) AS n_sources FROM per_src
 )
-SELECT source, n_docs, tokens,
-       (1000000 * ({MIX_LAMBDA_X10} * t_total
+SELECT source, n_docs, CAST(tokens AS BIGINT) AS tokens,
+       CAST((1000000 * ({MIX_LAMBDA_X10} * t_total
                    + {10 - MIX_LAMBDA_X10} * n_sources * tokens))
-         // (10 * n_sources * t_total) AS weight_x1e6
+         // (10 * n_sources * t_total) AS BIGINT) AS weight_x1e6
 FROM per_src, tot
 """
 
@@ -759,9 +759,10 @@ WITH ws AS (
 )
 SELECT d.doc_id,
        coalesce(p.n_bigrams, 0) AS n_bigrams,
-       coalesce(p.lik_sum_x1e6, 0) AS lik_sum_x1e6,
-       CASE WHEN coalesce(p.n_bigrams, 0) > 0
-            THEN p.lik_sum_x1e6 // p.n_bigrams ELSE 0 END AS fluency_x1e6
+       CAST(coalesce(p.lik_sum_x1e6, 0) AS BIGINT) AS lik_sum_x1e6,
+       CAST(CASE WHEN coalesce(p.n_bigrams, 0) > 0
+            THEN p.lik_sum_x1e6 // p.n_bigrams ELSE 0 END AS BIGINT)
+         AS fluency_x1e6
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 

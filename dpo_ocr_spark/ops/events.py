@@ -165,9 +165,9 @@ WITH base AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY t_us)
 ), sess AS (
   SELECT user_id, t_us,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY t_us
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY t_us
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
+              AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -252,7 +252,8 @@ def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROPS_EXTRACT_ORACLE = """
 SELECT CAST(props->>'k' AS INT) AS k,
        COUNT(*) AS n_events,
-       SUM(CAST(floor(value * 100) AS BIGINT)) AS value_x100_sum
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_x100_sum
 FROM events GROUP BY 1
 """
 
@@ -293,6 +294,6 @@ WITH ev AS (
 SELECT coalesce(event_type, 'ALL') AS event_type,
        coalesce(CAST(value_bucket AS VARCHAR), 'ALL') AS value_bucket,
        COUNT(*) AS n_events,
-       SUM(v) AS value_x100_sum
+       CAST(SUM(v) AS BIGINT) AS value_x100_sum
 FROM ev GROUP BY CUBE (event_type, value_bucket)
 """

@@ -6,7 +6,14 @@ Oracle design rules (FP-safe hashing):
 - money values integerised as ``floor(x * 10000 + 0.5)`` on plain doubles in
   both engines (IEEE-exact; a double→DECIMAL cast rounds differently across
   DuckDB builds — the round-1/2 driver hash FAILs);
-- ratios computed from exact components then ``round(x, 4)`` in both.
+- ratios computed from exact components then ``round(x, 4)`` in both;
+- NO oracle output column may be HUGEINT or DECIMAL: DuckDB types
+  ``SUM(BIGINT/INT)`` as HUGEINT, and the driver gate renders
+  HUGEINT/DECIMAL differently from plain BIGINT (the r4 postmortem: all
+  11 driver hash-FAILs — and only those — had a HUGEINT/DECIMAL output
+  column; local fetchall()+str() masks it).  Wrap every output-level SUM
+  in ``CAST(... AS BIGINT)``; ``tools/check_oracles.py`` enforces this
+  with a DESCRIBE audit.
 
 The synthetic-corpus oracles re-derive the engine's expected output from
 ``documents.text`` with plain SQL — they share the determinism contract in
@@ -182,8 +189,8 @@ def _register_relational() -> None:
             "multiway_join",
             R.q_multiway_join,
             """SELECT n_name,
-                      SUM(CAST(floor(l_extendedprice * (1 - l_discount)
-                                     * 10000.0 + 0.5) AS BIGINT))
+                      CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                     * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
                         AS revenue_x10k,
                       COUNT(*) AS n_items
                FROM lineitem
@@ -272,8 +279,8 @@ def _register_relational() -> None:
                            WHEN l_discount > 0.02 THEN 'low'
                            ELSE 'none' END AS disc_class,
                       COUNT(*) AS n,
-                      SUM(CAST(floor(l_extendedprice * 10000.0 + 0.5)
-                               AS BIGINT)) AS gross_x10k
+                      CAST(SUM(CAST(floor(l_extendedprice * 10000.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS gross_x10k
                FROM lineitem GROUP BY 1""",
         ),
         (
@@ -296,8 +303,8 @@ def _register_relational() -> None:
             "range_join",
             R.q_range_join,
             """SELECT r_regionkey AS zone_id, COUNT(*) AS n_orders,
-                      SUM(CAST(floor(o_totalprice * 10000.0 + 0.5)
-                               AS BIGINT)) AS total_x10k
+                      CAST(SUM(CAST(floor(o_totalprice * 10000.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS total_x10k
                FROM orders JOIN region
                  ON o_totalprice >= r_regionkey * 60000.0
                 AND o_totalprice < (r_regionkey + 1) * 60000.0

@@ -47,7 +47,8 @@ WITH e AS (
   SELECT max(t_us) AS m FROM e
 ), w AS (
   SELECT (t_us // 3600000000) * 3600000000 AS start_us, event_type,
-         COUNT(*) AS n_events, SUM(v) AS value_x100_sum
+         COUNT(*) AS n_events,
+         CAST(SUM(v) AS BIGINT) AS value_x100_sum
   FROM e GROUP BY 1, 2
 )
 SELECT start_us, event_type, n_events, value_x100_sum

@@ -702,7 +702,11 @@ def _q_crop_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity summary in ONE pass via rollup (SURVEY.md §2.4
     note: the reference runs separate queries per grain, ui/app.R:103-186;
-    rollup is the idiomatic single-pass Spark form)."""
+    rollup is the idiomatic single-pass Spark form).
+
+    l_quantity is integral in TPC-H-style data, so the quantity total is
+    emitted as pure-integer ``qty_x10k`` (no DECIMAL and no FP anywhere —
+    a hashed DECIMAL column was the r4 gate FAIL for this query)."""
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -710,13 +714,13 @@ def _q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"),
+            F.sum(F.col("l_quantity").cast("long") * 10000).alias("qty_x10k"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
             "n",
-            "qty",
+            "qty_x10k",
         )
     )
 
@@ -753,10 +757,11 @@ def _register_misc() -> None:
         f"""
 WITH {_TOKENS_CTE}, {_ZONE_CTE}
 SELECT url,
-       greatest(MIN(wx0) - 10, 0) AS crop_x0,
-       greatest(MIN(line_idx * 24) - 10, 0) AS crop_y0,
-       least(MAX(wx0 + 8 * length(word)) + 10, 2000) AS crop_x1,
-       least(MAX(line_idx * 24 + 18) + 10, 100) AS crop_y1
+       CAST(greatest(MIN(wx0) - 10, 0) AS BIGINT) AS crop_x0,
+       CAST(greatest(MIN(line_idx * 24) - 10, 0) AS BIGINT) AS crop_y0,
+       CAST(least(MAX(wx0 + 8 * length(word)) + 10, 2000) AS BIGINT)
+         AS crop_x1,
+       CAST(least(MAX(line_idx * 24 + 18) + 10, 100) AS BIGINT) AS crop_y1
 FROM ztok GROUP BY url
 """,
     )
@@ -767,7 +772,7 @@ FROM ztok GROUP BY url
 SELECT COALESCE(l_returnflag, 'ALL') AS rf,
        COALESCE(l_linestatus, 'ALL') AS ls,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS qty
+       CAST(SUM(CAST(l_quantity AS BIGINT) * 10000) AS BIGINT) AS qty_x10k
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
     )

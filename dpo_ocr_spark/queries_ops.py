@@ -878,7 +878,7 @@ _register(
     _q_substring_spans,
     f"""
 WITH {_SUBSTR_SPANS_CTES}
-SELECT doc_id, span_id, s AS span_start,
+SELECT doc_id, CAST(span_id AS BIGINT) AS span_id, s AS span_start,
        CAST(e AS BIGINT) AS span_end
 FROM spans
 """,

@@ -55,6 +55,30 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     failed = []
+
+    # Typed-output audit (r4 postmortem): the driver gate renders DuckDB
+    # HUGEINT/DECIMAL output columns differently from BIGINT — all 11 r4
+    # driver hash-FAILs (and only those) had one.  local fetchall()+str()
+    # masks the divergence, so ban the types structurally.
+    for name, sql in oracles.items():
+        if only and name not in only:
+            continue
+        try:
+            desc = con.execute(
+                f"DESCRIBE SELECT * FROM ({sql})"
+            ).fetchall()
+        except Exception:
+            continue  # runtime errors surface in the value check below
+        bad = [
+            f"{r[0]}:{r[1]}"
+            for r in desc
+            if r[1].startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))
+        ]
+        if bad:
+            print(f"{name:28s} TYPE-FAIL  oracle output {bad} "
+                  "(HUGEINT/DECIMAL banned — CAST to BIGINT)")
+            failed.append(name)
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
