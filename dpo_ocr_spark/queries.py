@@ -518,6 +518,7 @@ def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import queries_ops  # noqa: E402,F401
 from . import queries_eval  # noqa: E402,F401
 from . import queries_curation  # noqa: E402,F401
+from . import queries_canary  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -539,29 +540,37 @@ from . import queries_curation  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _FIRST = [
-    # flagship + disputed (keep a driver row on these every round)
+    # flagship (keep a driver row every round)
     "extract_text", "block_assembly",
-    "multiway_join", "case_bucket", "range_join",
-    # modified/added in r4
-    "eval_golden_long", "eval_accuracy_exact", "eval_accuracy_geo",
-    "form_fields", "interp_other_numbers",
-    # never driver-checked before r4 (oracle-backed)
-    "eval_accuracy_trgm", "span_records", "training_jsonl",
-    "zonal_cells", "zonal_pivot", "url_confidence", "conf_histogram",
-    "annotate_plan", "crop_rects", "rollup_summary", "scalar_chain",
-    "paragraph_dedup", "asof_join", "sessionize", "value_quantiles",
-    "decontaminate", "repetition_stats", "training_order",
-    "semantic_prune", "tfidf_top_terms", "lm_bigram_score", "domain_mix",
-    "url_filter", "chunk_documents", "streaming_window_counts",
-    "streaming_interval_join", "curated_training_set", "host_cap",
-    "repetition_stats_exploded", "incremental_dedup", "pii_scrub",
-    "props_extract", "streaming_sessionize", "image_autocrop",
-    "image_autocrop_png", "image_autocrop_jpeg",
-    "cluster_representatives", "url_normalize", "unicode_normalize",
-    "cube_summary",
-    # --- 50-slot boundary: everything below is outside the driver sample
-    # rows-only but changed in r4 (8-field dictionaries)
+    # slots 3-12: gate canaries (VERDICT r4 #1) — constant-output, one
+    # construct each; expected outcomes in queries_canary.py docstring
+    "canary_literals", "canary_int_div", "canary_epoch_us",
+    "canary_floor_half", "canary_rollup_sentinel", "canary_json_arrow",
+    "canary_float_str", "canary_sum_cast_bigint",
+    "canary_hugeint", "canary_decimal",
+    # the 11 r4 driver hash-FAILs, re-encoded BIGINT-only this round —
+    # kept sampled so their green/FAIL row lands next to the canaries
+    "multiway_join", "case_bucket", "range_join", "crop_rects",
+    "rollup_summary", "sessionize", "lm_bigram_score", "domain_mix",
+    "streaming_window_counts", "props_extract", "cube_summary",
+    # r4 no_oracle row, now exact-twin oracle-backed (VERDICT r4 #4)
+    "eval_accuracy_geo",
+    # interpret cascade stage outputs (VERDICT r4 #5): value checks over
+    # the reference's core computation, one query per cascade stage
+    "cascade_dates", "cascade_elevation", "cascade_locality",
+    "cascade_taxonomy", "cascade_collector", "cascade_other",
+    # never-driver-sampled r4 additions (VERDICT r4 #6)
+    "substring_dedup", "substring_dedup_spans",
+    "image_autocrop_png_adam7", "image_autocrop_jpeg_prog",
     "eval_accuracy_auto",
+    # previously unit-only operators, promoted to oracle-backed queries
+    # this round (r4 coverage table: S6/S8/S9, F3/F7, J7, U3, C1/C5/C7/C9)
+    "csv_cells", "json_response", "merge_upsert", "ignore_list_filter",
+    "existence_check", "dims_join", "vertical_append", "alpha_strip",
+    "century_fix", "fuzzy_scores", "ngram_candidates",
+    # --- 50-slot boundary: everything below is outside the driver sample;
+    # the r1-r4 greens rotate to the tail, covered by the local sweep
+    # (ORACLES_r{N}.txt) every round.
 ]
 
 

@@ -60,9 +60,13 @@ def main() -> int:
     # HUGEINT/DECIMAL output columns differently from BIGINT — all 11 r4
     # driver hash-FAILs (and only those) had one.  local fetchall()+str()
     # masks the divergence, so ban the types structurally.
+    from dpo_ocr_spark.queries_canary import DELIBERATE_TYPE_CANARIES
+
     for name, sql in oracles.items():
         if only and name not in only:
             continue
+        if name in DELIBERATE_TYPE_CANARIES:
+            continue  # gate canaries that probe the banned types on purpose
         try:
             desc = con.execute(
                 f"DESCRIBE SELECT * FROM ({sql})"
