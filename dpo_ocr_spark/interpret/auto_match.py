@@ -295,7 +295,12 @@ def auto_geo(
       (match_state/match_county call it without ``.lower()``, unlike the
       active country pass at :545);
     - the argmax is ``nlargest(1, ['score2', 'string_len'])`` gated
-      strictly above ``geo_min``;
+      strictly above ``geo_min``.  Disclosure (r4 advice): the reference
+      pseudocode actually gates ``res.iloc[0]['score']`` — a column it
+      never populates (only ``score2`` is computed), so a literal
+      transcription would compare NaN > geo_min and insert NO geo rows at
+      all; we gate on ``score2`` as the documented intent, like the active
+      country pass does;
     - the matched FIELD gets the **candidate text** (``res.iloc[0]['text']``
       — unlike the country pass, which inserts the gazetteer *name*),
       while the parent admin levels get the gazetteer row's **hierarchy
@@ -307,6 +312,12 @@ def auto_geo(
     from .labels import auto_blocks
 
     sizes = sizes or AUTO_SIZES
+    # Compute the base cascade rows with the caller's ORIGINAL blocks
+    # (None stays None) so the default path hits the auto_rows stage
+    # cache shared with auto_match — resolving blocks first would defeat
+    # the memo and run the fuzzy-DP cascade twice per gate session
+    # (r4 advice item #1).
+    base_rows = _auto_rows(spark, sf_dir, blocks, sizes)
     if blocks is None:
         blocks = auto_blocks(spark, sf_dir)
     g = _gadm(spark, sf_dir)
@@ -361,5 +372,4 @@ def auto_geo(
             yield pd.DataFrame(rows, columns=_COLS) if rows else _typed_empty()
 
     geo_rows = work.mapInPandas(run, schema=AUTO_SCHEMA)
-    base_rows = _auto_rows(spark, sf_dir, blocks, sizes)
     return _dedup_upserts(base_rows.unionByName(geo_rows))

@@ -553,8 +553,11 @@ _FIRST = [
     "multiway_join", "case_bucket", "range_join", "crop_rects",
     "rollup_summary", "sessionize", "lm_bigram_score", "domain_mix",
     "streaming_window_counts", "props_extract", "cube_summary",
-    # r4 no_oracle row, now exact-twin oracle-backed (VERDICT r4 #4)
-    "eval_accuracy_geo",
+    # r4 no_oracle slot (VERDICT r4 #4): the geo accuracy page restricted
+    # to its six designed-constant fields, with an exact SQL oracle; the
+    # fuzzywuzzy-dependent full page (eval_accuracy_geo) rotates below
+    # the line as rows-only, pytest-pinned
+    "eval_accuracy_geo_hier",
     # interpret cascade stage outputs (VERDICT r4 #5): value checks over
     # the reference's core computation, one query per cascade stage
     "cascade_dates", "cascade_elevation", "cascade_locality",

@@ -253,6 +253,55 @@ def _q_accuracy_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("eval_accuracy_geo", _q_accuracy_geo)
 
 
+# The six geo-accuracy fields with DESIGNED constant outcomes on the
+# synthetic corpus (pinned in tests/test_eval_export.py): the gadm
+# hierarchy fills country/state_territory for every test url (100%), the
+# county pass's candidate-text insert quirk makes district_county 0%, and
+# the cascade never exactly reproduces verbatim_date / elevation /
+# precise_locality (0%).  collector / verbatim_locality depend on the
+# fuzzywuzzy DP (no SQL twin — they stay in the rows-only full-page query
+# above).  This restriction gives the §3.3 geo passes a driver VALUE
+# check: any kernel/threshold/hierarchy regression breaks the 100%/0%
+# pattern and the hash.
+_GEO_DESIGNED = [
+    "country", "state_territory", "district_county",
+    "verbatim_date", "elevation", "precise_locality",
+]
+
+
+def _q_accuracy_geo_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return _q_accuracy_geo(spark, sf_dir).filter(
+        F.col("field").isin(_GEO_DESIGNED)
+    )
+
+
+_GEO_HIER_FIELDS_SQL = ", ".join(f"'{f}'" for f in _GEO_DESIGNED)
+_register(
+    "eval_accuracy_geo_hier",
+    _q_accuracy_geo_hier,
+    f"""
+WITH {_GOLDEN_CTE},
+tc AS (
+  SELECT g.field, s.reference_size, COUNT(*) AS n_golden
+  FROM glong g JOIN sp s ON s.url = g.url AND s.ref_or_test = 'test'
+  WHERE s.reference_size IN ('0.05', '0.1', '0.2')
+    AND g.field IN ({_GEO_HIER_FIELDS_SQL})
+  GROUP BY 1, 2
+)
+SELECT field, reference_size,
+       round(CASE WHEN field IN ('country', 'state_territory')
+                  THEN n_golden ELSE 0 END * 100.0 / n_golden, 2)
+         AS pct_matched,
+       n_golden,
+       CAST(CASE WHEN field IN ('country', 'state_territory')
+                 THEN n_golden ELSE 0 END AS BIGINT) AS n_matched
+FROM tc
+""",
+)
+
+
 def _q_other_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog-number rule over the ento label blocks (golden
     other_numbers column, transcription_ento.sql:12).  Output trimmed to
