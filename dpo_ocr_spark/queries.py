@@ -468,20 +468,17 @@ def q_interp_collector(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(*_INTERP_COLS)
 
 
-@register("interpret_full")  # fuzzy ops — rows-only driver check
+@register("interpret_full")
 def q_interpret_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full §3.2 pipeline incl. locality/taxonomy fuzzy match and the
-    pg_trgm similarity fallback (non-SQL-expressible → rows-only; exact
-    behavior pinned by pytest goldens)."""
-    from .interpret.dims import gazetteer, gazetteer_hierarchy, taxonomy
-    from .interpret.labels import label_blocks_with_dims
-    from .interpret.match import interpret_all
+    pg_trgm similarity fallback.  Rows-only from r1-r4; since r5 the
+    designed fixture outcome is SQL-derivable end-to-end (see
+    queries_cascade.py, which also slices this same cached frame into six
+    stage queries), so the composite carries a full-table oracle —
+    registered after queries_cascade import below."""
+    from .queries_cascade import _full_frame
 
-    blocks = label_blocks_with_dims(spark, sf_dir)
-    return interpret_all(
-        spark, blocks, gazetteer(spark, sf_dir), taxonomy(spark),
-        hierarchy=gazetteer_hierarchy(spark, sf_dir),
-    )
+    return _full_frame(spark, sf_dir)
 
 
 @register(
@@ -519,6 +516,9 @@ from . import queries_ops  # noqa: E402,F401
 from . import queries_eval  # noqa: E402,F401
 from . import queries_curation  # noqa: E402,F401
 from . import queries_canary  # noqa: E402,F401
+from . import queries_cascade  # noqa: E402,F401
+
+ORACLES["interpret_full"] = queries_cascade.INTERPRET_FULL_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -561,7 +561,8 @@ _FIRST = [
     # interpret cascade stage outputs (VERDICT r4 #5): value checks over
     # the reference's core computation, one query per cascade stage
     "cascade_dates", "cascade_elevation", "cascade_locality",
-    "cascade_taxonomy", "cascade_collector", "cascade_other",
+    "cascade_taxonomy", "cascade_collector", "cascade_fallback",
+    "interpret_full",
     # never-driver-sampled r4 additions (VERDICT r4 #6)
     "substring_dedup", "substring_dedup_spans",
     "image_autocrop_png_adam7", "image_autocrop_jpeg_prog",
