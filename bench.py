@@ -183,6 +183,11 @@ def main() -> int:
     )
     qs = E.queries()
     times: dict[str, float] = {}
+    # Bracketing control #1 (BEFORE the suite): with only the post-suite
+    # control, a steal window that opens mid-suite and closes before the
+    # control runs is invisible — the r4 verdict asked for the bracket so
+    # a mid-suite window is bounded by evidence, not inferred.
+    ctl_before = hardware_control([8, 32])
     # warm-up: JVM + parquet footer caches (smallest query)
     qs["topk_window"](spark, SF_DIR).count()
 
@@ -210,7 +215,7 @@ def main() -> int:
     # driver-side hypervisor-noise window shows up here as a collapsed
     # control, making a slow bench self-attributing (r2's unexplained
     # 3.8x headline regression had no such line).
-    ctl = hardware_control([8, 32])
+    ctl = hardware_control([8, 32])  # bracketing control #2 (AFTER)
     print(
         json.dumps(
             {
@@ -231,6 +236,7 @@ def main() -> int:
                     "mb": ext["mb"],
                 },
                 "control_docs_per_sec": ctl,
+                "control_before_docs_per_sec": ctl_before,
             }
         )
     )

@@ -113,15 +113,28 @@ def training_jsonl(spans: DataFrame) -> DataFrame:
     )
 
 
-def tokens_csv(tokens: DataFrame, path: str) -> None:
-    """S8: word rows in the reference's 14-column CSV schema with EXACT
-    ``csv.QUOTE_NONNUMERIC`` semantics (old/ocr_to_csv.py:33): string
-    fields and every header cell quoted (embedded quotes doubled),
-    numeric fields bare.  Spark's csv writer has no per-type quoting, so
-    rows are rendered JVM-side (concat_ws over casts) and written as
-    text, with the quoted header prepended once per partition inside the
-    Arrow batch iterator.  Float rendering: confidence ∈ [0, 1], where
-    Java's Double.toString and Python's repr agree (no exponent form)."""
+def _pystr_double(col: F.Column) -> F.Column:
+    """Render a double the way Python's ``str()`` does for the CSV value
+    domain: ``%.6f`` with trailing zeros trimmed (``0.85`` → ``0.85``,
+    ``1.0`` → ``1.0``, ``0.0005`` → ``0.0005``).  A bare cast-to-string
+    would use Java's Double.toString, which switches to exponent form
+    below 1e-3 (``5.0E-4``) where Python repr still writes decimals — the
+    r4 advice finding.  Remaining documented boundary: values needing
+    more than 6 fractional digits for round-trip (the engine's confidence
+    granularity is 0.01) would be truncated; Python repr would not."""
+    trimmed = F.regexp_replace(F.format_string("%.6f", col), "0+$", "")
+    # format_string renders NULL input as the literal 'null' — propagate
+    # NULL instead so the sink's quoted-empty coalesce still fires
+    return F.when(col.isNull(), F.lit(None)).when(
+        trimmed.rlike("\\.$"), F.concat(trimmed, F.lit("0"))
+    ).otherwise(trimmed)
+
+
+def csv_line_col() -> F.Column:
+    """The reference's 14-column CSV row under EXACT
+    ``csv.QUOTE_NONNUMERIC`` semantics (old/ocr_to_csv.py:33), rendered
+    JVM-side from the standard token columns — shared by the tokens_csv
+    sink and the ``csv_cells`` gate query."""
     # NULL cells render as quoted-empty, exactly like csv.writer under
     # QUOTE_NONNUMERIC (None → "" → non-numeric → quoted); never let a
     # NULL vanish inside concat_ws and shift the row left
@@ -137,19 +150,30 @@ def tokens_csv(tokens: DataFrame, path: str) -> None:
     def num(col: str) -> F.Column:
         return F.coalesce(F.col(col).cast("string"), F.lit('""'))
 
-    line = F.concat_ws(
+    return F.concat_ws(
         ",",
         quoted,
         num("block"),
         num("page"),
         num("word"),
         num("word_line"),
-        num("confidence"),
+        F.coalesce(_pystr_double(F.col("confidence")), F.lit('""')),
         *[
             F.coalesce(F.element_at("bbox", i + 1), F.lit(0)).cast("string")
             for i in range(8)
         ],
     )
+
+
+def tokens_csv(tokens: DataFrame, path: str) -> None:
+    """S8: word rows in the reference's 14-column CSV schema with EXACT
+    ``csv.QUOTE_NONNUMERIC`` semantics (old/ocr_to_csv.py:33): string
+    fields and every header cell quoted (embedded quotes doubled),
+    numeric fields bare.  Spark's csv writer has no per-type quoting, so
+    rows are rendered JVM-side (concat_ws over casts) and written as
+    text, with the quoted header prepended once per partition inside the
+    Arrow batch iterator.  Float rendering via ``_pystr_double``."""
+    line = csv_line_col()
     header = ",".join(f'"{c}"' for c in CSV_COLUMNS)
 
     def with_header(it):  # type: ignore[no-untyped-def]

@@ -517,6 +517,7 @@ from . import queries_eval  # noqa: E402,F401
 from . import queries_curation  # noqa: E402,F401
 from . import queries_canary  # noqa: E402,F401
 from . import queries_cascade  # noqa: E402,F401
+from . import queries_sinks  # noqa: E402,F401
 
 ORACLES["interpret_full"] = queries_cascade.INTERPRET_FULL_ORACLE
 

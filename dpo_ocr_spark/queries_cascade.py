@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .interpret.dims import _GENERA, _SPECIES
 from .interpret.labels import ROMAN_OF_MONTH
 from .queries import _LBL_CTE, register
-from .queries_eval import _COUNTY_SQL, _TAIL_SQL
+from .sqlfrags import _COUNTY_SQL, _TAIL_SQL
 
 # roman month of d INCLUDING XII (the date-stage filter, not the map,
 # encodes the X11 quirk here: block text always renders December as XII)

@@ -14,22 +14,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .interpret.dims import _COUNTIES
-from .interpret.labels import PRECISE_TAILS
 from .queries import ORACLES, QUERIES, _LBL_CTE
+from .sqlfrags import _COUNTY_SQL, _TAIL_SQL  # noqa: F401 (re-export)
 from .eval import harness as H
 
 _SIZES_SQL = ", ".join(f"('{s}', {int(s * 100)})" for s in H.SIZES)
-# k/100-indexed (labels are multiples of 100 — k % 10/5 is degenerate;
-# k/100 is exact in double, so the CAST is loss-free)
-_COUNTY_SQL = (
-    "[" + ", ".join(f"'{c}'" for c in _COUNTIES) + "]"
-    "[CAST((k / 100) % 10 AS INT) + 1]"
-)
-_TAIL_SQL = (
-    "[" + ", ".join(f"'{t}'" for t in PRECISE_TAILS) + "]"
-    "[CAST((k / 100) % 5 AS INT) + 1]"
-)
 
 
 def _register(name: str, fn, sql: str | None = None) -> None:
