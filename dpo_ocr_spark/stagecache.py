@@ -27,11 +27,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def enabled() -> bool:
     return os.environ.get("SPARK_GRAFT_STAGE_CACHE", "1") != "0"
+
+
+def _session_token(spark: SparkSession) -> str:
+    """Session identity that survives nothing: applicationId + startTime.
+    ``id(spark)`` is unsafe — CPython reuses ids after GC, so a new
+    session could inherit checkpointed frames bound to a dead one (r4
+    advice item #2); the (appId, startTime) pair is unique per JVM
+    context and never recycled within a process."""
+    sc = spark.sparkContext
+    return f"{sc.applicationId}:{sc.startTime}"
 
 
 def shared(
@@ -40,8 +50,13 @@ def shared(
     """Memoized, lineage-truncated ``builder()`` per (session, key)."""
     if not enabled():
         return builder()
-    k = (id(spark), key)
+    tok = _session_token(spark)
+    k = (tok, key)
     if k not in _CACHE:
+        # evict frames bound to other (dead) sessions so the memo never
+        # pins a stopped session's DataFrames for the process lifetime
+        for old in [x for x in _CACHE if x[0] != tok]:
+            del _CACHE[old]
         _CACHE[k] = builder().localCheckpoint(eager=False)
     return _CACHE[k]
 
