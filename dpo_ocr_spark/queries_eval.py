@@ -579,7 +579,23 @@ def _q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_extracted_q").select("url", "text")
 
 
-_register("streaming_extract", _q_streaming_extract)
+def _streaming_oracle(select: str) -> str:
+    """Value-level oracle for the streaming drains: Structured Streaming
+    over the same corpus must produce EXACTLY the batch extraction
+    contract (the extract_text oracle), so the twin SQL is the batch
+    expected-text derivation — the stream adds no value semantics, only
+    incremental execution (r4 verdict stretch item: streaming value
+    checks via the batch twin)."""
+    from .queries import _ETEXT_CTE
+
+    return f"WITH {_ETEXT_CTE}\n{select}"
+
+
+_register(
+    "streaming_extract",
+    _q_streaming_extract,
+    _streaming_oracle("SELECT url, etext AS text FROM paras"),
+)
 
 
 def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -606,7 +622,15 @@ def _q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register("streaming_dedup", _q_streaming_dedup)
+_register(
+    "streaming_dedup",
+    _q_streaming_dedup,
+    # every url fed twice; first-seen state must emit each EXACTLY once
+    # with the batch-contract text — n pins the exactly-once semantics
+    _streaming_oracle(
+        "SELECT url, CAST(1 AS BIGINT) AS n, etext AS text FROM paras"
+    ),
+)
 
 
 # --- S12 annotated-image sink → draw plan (run_gvision_ocr.py:185-260) -------
