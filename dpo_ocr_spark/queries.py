@@ -573,6 +573,9 @@ _FIRST = [
     "csv_cells", "json_response", "merge_upsert", "ignore_list_filter",
     "existence_check", "dims_join", "vertical_append", "alpha_strip",
     "century_fix", "fuzzy_scores", "ngram_candidates",
+    # fuzzy-cascade kernel on crafted hand-derivable blocks — the value
+    # check standing in for the corpus-scale auto_match (rows-only)
+    "auto_cascade_kernel",
     # --- 50-slot boundary: everything below is outside the driver sample;
     # the r1-r4 greens rotate to the tail, covered by the local sweep
     # (ORACLES_r{N}.txt) every round.

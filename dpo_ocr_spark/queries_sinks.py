@@ -624,3 +624,89 @@ def _q_ngram_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocks.mapInPandas(
         gen, "url string, candidate string, string_len int"
     )
+
+
+# ---------------------------------------------------------------------------
+# Auto-match cascade kernel (auto_id_compare.py:290-360) on crafted blocks
+# ---------------------------------------------------------------------------
+
+# One crafted block per quirk; the full cross product (every block scored
+# against every field dictionary + the gazetteer) emits exactly these five
+# rows, each hand-derivable:
+#   A  exact containment: cand == value → partial+ratio = 200 > INSERT_MIN
+#      (180) → 'score' insert of the CANDIDATE text;
+#   B  token_set quirk: no pair clears 180, and the fallback scores the
+#      GLOBALLY SHORTEST candidate ('Smith', not the permuted full name)
+#      against the field's FIRST value — token sets equal → 100 > 96;
+#   C  disjoint alphabets: every kernel scores ~0 → no row;
+#   D  geo pass: a candidate equals the gazetteer name → ratio 100 > 96;
+#      the emitted value is the GAZETTEER name under field 'country';
+#   E  near-miss gazetteer text stays below 96 → no geo row;
+#   F  two candidates tie at score 200 → larger string_len wins
+#      ('aa bb cc' beats 'aa bb');
+#   G  the value sits at the block END: the last word is never a
+#      candidate member (C9 quirk), so the exact match is INVISIBLE and
+#      the block emits nothing;
+#   H  multi-field block: only the containment field emits (the permuted
+#      collector loses the min_row fallback to a different shortest cand).
+_AUTO_DICT = [
+    ("precise_locality", ["Riverside Lodge"]),
+    ("collector", ["Smith J. B."]),
+    ("verbatim_locality", ["aa bb", "aa bb cc"]),
+    ("elevation", ["qqqq qq"]),
+]
+_AUTO_GAZ = ["Clark Co., Indiana"]
+_AUTO_BLOCKS = [
+    ("auto://A", "aa Riverside Lodge zz end"),
+    ("auto://B", "J. B. Smith zz yy"),
+    ("auto://C", "zzzz yyyy xxxx ww"),
+    ("auto://D", "near Clark Co., Indiana then tail"),
+    ("auto://E", "near Klark County Indi tail"),
+    ("auto://F", "aa bb cc dd"),
+    ("auto://G", "aa zz Riverside Lodge"),
+    ("auto://H", "Riverside Lodge and J. B. Smith zz"),
+]
+_AUTO_EXPECT = [
+    ("auto://A", "precise_locality", "Riverside Lodge", "score"),
+    ("auto://B", "collector", "Smith", "token_set"),
+    ("auto://D", "country", "Clark Co., Indiana", "geo"),
+    ("auto://F", "verbatim_locality", "aa bb cc", "score"),
+    ("auto://H", "precise_locality", "Riverside Lodge", "score"),
+]
+
+
+@register(
+    "auto_cascade_kernel",
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{u}', '{f}', '{v}', '{s}')" for u, f, v, s in _AUTO_EXPECT
+    )
+    + ") t(url, field, value, stage)",
+)
+def _q_auto_cascade_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto-match cascade kernel (candidates → fuzzy score/token_set/
+    geo passes with the reference's thresholds and tie-breaks) run for
+    real inside Arrow batches over crafted blocks whose outcomes are
+    hand-derivable — the driver value check for the fuzzy cascade that
+    the corpus-scale ``auto_match`` (rows-only) cannot get: arbitrary
+    candidate-vs-dictionary DP scores have no SQL twin, but on these
+    blocks every argmax is provable (see the case table above)."""
+    import pandas as pd
+
+    from .interpret.auto_match import cascade_rows
+
+    blocks = spark.createDataFrame(_AUTO_BLOCKS, ["url", "block_text"])
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for url, text in zip(pdf["url"], pdf["block_text"]):
+                for f, v, s in cascade_rows(text, _AUTO_DICT, _AUTO_GAZ):
+                    rows.append((url, f, v, s))
+            yield pd.DataFrame(
+                rows, columns=["url", "field", "value", "stage"]
+            )
+
+    return blocks.mapInPandas(
+        run, "url string, field string, value string, stage string"
+    )
