@@ -65,42 +65,97 @@ ROMAN_CASE_SQL = "CASE month(o_orderdate) " + " ".join(
 ) + " END"
 
 
-def label_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _label_base(
+    spark: SparkSession, sf_dir: str, nation: bool = False,
+    region: bool = False,
+) -> DataFrame:
+    """One joined base frame per fixture family.  The block builders
+    below emit every block row from a SINGLE pass over this frame
+    (inline array + explode) instead of a unionByName of per-block
+    selects — Catalyst does not share subplans across union branches, so
+    the union form re-executed the orders⋈customer join once per block
+    family (up to 7×).  Same rows, one join."""
     orders = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .filter(F.col("o_orderkey") % 100 == 0)
     )
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+    o = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    cols = [
         F.concat(F.lit("label://"), F.col("o_orderkey")).alias("url"),
         F.col("o_orderdate").alias("d"),
         F.col("o_orderkey").alias("k"),
         F.col("c_name").alias("cname"),
+    ]
+    if nation or region:
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        o = o.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        cols.append(F.initcap("n_name").alias("state"))
+    if region:
+        reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+        o = o.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        cols.append(F.col("r_name").alias("rname"))
+    return o.select(*cols)
+
+
+def _explode_blocks(o: DataFrame, entries) -> DataFrame:
+    """(block_no, text_col) pairs → one (url, block, word_line,
+    block_text) row each, emitted in a single projection."""
+    arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("block"),
+            F.lit(b).alias("word_line"),
+            text.alias("block_text"),
+        )
+        for b, text in entries
+    ])
+    return o.select("url", F.explode(arr).alias("e")).select(
+        "url", "e.block", "e.word_line", "e.block_text"
     )
+
+
+def _core_entries():
+    """Blocks 0-3 (date / elevation / bare year / collector) — shared by
+    every fixture family."""
     roman = F.expr(
         "CASE month(d) " + " ".join(
             f"WHEN {m} THEN '{r}'" for m, r in enumerate(ROMAN_OF_MONTH) if r
         ) + " END"
     )
-    b0 = o.select(
-        "url", F.lit(0).alias("block"), F.lit(0).alias("word_line"),
-        F.concat_ws("-", F.dayofmonth("d").cast("string"), roman,
-                    F.year("d").cast("string")).alias("block_text"),
+    return [
+        (0, F.concat_ws(
+            "-", F.dayofmonth("d").cast("string"), roman,
+            F.year("d").cast("string"))),
+        (1, F.concat(
+            F.lit("Alt "), ((F.col("k") % 40) * 100 + 100).cast("string"),
+            F.lit("'"))),
+        (2, F.year("d").cast("string")),
+        (3, F.concat(F.lit("Coll. "), F.col("cname"))),
+    ]
+
+
+def _locality_text():
+    """Block-4 locality: '<County> Co., <InitcapNation> <tail>'."""
+    return F.concat(
+        county_col(F.col("k")), F.lit(" Co., "), F.col("state"),
+        F.lit(" "), tail_col(F.col("k")),
     )
-    b1 = o.select(
-        "url", F.lit(1).alias("block"), F.lit(1).alias("word_line"),
-        F.concat(F.lit("Alt "), ((F.col("k") % 40) * 100 + 100).cast("string"),
-                 F.lit("'")).alias("block_text"),
+
+
+def _catalog_text():
+    """Block-6 catalog number 'No. <n>' — the golden other_numbers column
+    (transcription_ento.sql:12).  The 'No.' keyword guard makes the date
+    cascade skip it (block_identification.py:110-115 quirk); the
+    match_other_numbers rule picks it up."""
+    return F.concat(
+        F.lit("No. "), (F.col("k") / 100 + 100000).cast("int").cast("string")
     )
-    b2 = o.select(
-        "url", F.lit(2).alias("block"), F.lit(2).alias("word_line"),
-        F.year("d").cast("string").alias("block_text"),
+
+
+def label_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _explode_blocks(
+        _label_base(spark, sf_dir), _core_entries()
     )
-    b3 = o.select(
-        "url", F.lit(3).alias("block"), F.lit(3).alias("word_line"),
-        F.concat(F.lit("Coll. "), F.col("cname")).alias("block_text"),
-    )
-    return b0.unionByName(b1).unionByName(b2).unionByName(b3)
 
 
 def ento_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,42 +165,13 @@ def ento_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted-token ratio ≥ 80 (then best-substring 100), from which
     ``expand_locality`` derives district_county / state_territory /
     country / precise_locality — the locality family of the reference
-    golden schema (database/transcription_ento.sql:6-10)."""
-    orders = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .filter(F.col("o_orderkey") % 100 == 0)
+    golden schema (database/transcription_ento.sql:6-10).  Plus block 6,
+    the catalog number (block 5 is the taxonomy block in
+    label_blocks_with_dims)."""
+    return _explode_blocks(
+        _label_base(spark, sf_dir, nation=True),
+        _core_entries() + [(4, _locality_text()), (6, _catalog_text())],
     )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    o = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .select(
-            F.concat(F.lit("label://"), F.col("o_orderkey")).alias("url"),
-            F.col("o_orderkey").alias("k"),
-            F.initcap("n_name").alias("state"),
-        )
-    )
-    county = county_col(F.col("k"))
-    tail = tail_col(F.col("k"))
-    b4 = o.select(
-        "url", F.lit(4).alias("block"), F.lit(4).alias("word_line"),
-        F.concat(county, F.lit(" Co., "), F.col("state"), F.lit(" "), tail)
-        .alias("block_text"),
-    )
-    # block 6: catalog number 'No. <n>' — the golden other_numbers column
-    # (transcription_ento.sql:12).  The 'No.' keyword guard makes the date
-    # cascade skip it (block_identification.py:110-115 quirk); the
-    # match_other_numbers rule picks it up.  (block 5 is the taxonomy
-    # block in label_blocks_with_dims.)
-    b6 = o.select(
-        "url", F.lit(6).alias("block"), F.lit(6).alias("word_line"),
-        F.concat(
-            F.lit("No. "),
-            (F.col("k") / 100 + 100000).cast("int").cast("string"),
-        ).alias("block_text"),
-    )
-    return label_blocks(spark, sf_dir).unionByName(b4).unionByName(b6)
 
 
 def auto_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,48 +191,13 @@ def auto_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
          passes (bare '<Nation>' and '<County> Co., <Nation>' are both
          candidate substrings; the tail word never is)
     """
-    orders = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .filter(F.col("o_orderkey") % 100 == 0)
-    )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    region = spark.read.parquet(f"{sf_dir}/region.parquet")
-    o = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select(
-            F.concat(F.lit("label://"), F.col("o_orderkey")).alias("url"),
-            F.col("c_name").alias("cname"),
-            F.col("r_name").alias("rname"),
-        )
-    )
-    b4 = o.select(
-        "url", F.lit(4).alias("block"), F.lit(4).alias("word_line"),
-        F.concat(F.lit("Coll. "), F.col("cname"), F.lit(" det.")).alias(
-            "block_text"
-        ),
-    )
-    b5 = o.select(
-        "url", F.lit(5).alias("block"), F.lit(5).alias("word_line"),
-        F.concat(F.lit("in "), F.col("rname"), F.lit(" near camp")).alias(
-            "block_text"
-        ),
-    )
-    b6 = (
-        ento_blocks(spark, sf_dir)
-        .filter(F.col("block") == 4)
-        .select(
-            "url", F.lit(6).alias("block"), F.lit(6).alias("word_line"),
-            "block_text",
-        )
-    )
-    return (
-        label_blocks(spark, sf_dir)
-        .unionByName(b4)
-        .unionByName(b5)
-        .unionByName(b6)
+    return _explode_blocks(
+        _label_base(spark, sf_dir, region=True),
+        _core_entries() + [
+            (4, F.concat(F.lit("Coll. "), F.col("cname"), F.lit(" det."))),
+            (5, F.concat(F.lit("in "), F.col("rname"), F.lit(" near camp"))),
+            (6, _locality_text()),
+        ],
     )
 
 
@@ -216,21 +207,12 @@ def label_blocks_with_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     match_taxonomy / similarity_fallback end-to-end."""
     from .dims import _GENERA, _SPECIES
 
-    orders = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .filter(F.col("o_orderkey") % 100 == 0)
-    )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
-        F.concat(F.lit("label://"), F.col("o_orderkey")).alias("url"),
-        F.col("o_orderkey").alias("k"),
-    )
     sci = F.element_at(
         F.array(*[F.lit(f"{g} {s}") for g, s in zip(_GENERA, _SPECIES)]),
         (F.col("k") % 10 + 1).cast("int"),
     )
-    b5 = o.select(
-        "url", F.lit(5).alias("block"), F.lit(5).alias("word_line"),
-        sci.alias("block_text"),
+    return _explode_blocks(
+        _label_base(spark, sf_dir, nation=True),
+        _core_entries()
+        + [(4, _locality_text()), (5, sci), (6, _catalog_text())],
     )
-    return ento_blocks(spark, sf_dir).unionByName(b5)
