@@ -97,18 +97,23 @@ def splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ref/test marks at each reference size: a label url is
     'ref' for size s iff (k/100) % 100 < s*100 (engine-portable)."""
     g = golden_transcription(spark, sf_dir).select("url", "k")
-    out = None
-    for s in SIZES:
-        cut = int(s * 100)
-        part = g.select(
-            "url",
+    # all sizes in ONE pass (explode of size literals) — a unionByName
+    # per size re-executed the golden fixture derivation 6x (Catalyst
+    # does not share subplans across union branches)
+    sizes = F.array(*[
+        F.struct(
             F.lit(f"{s}").alias("reference_size"),
-            F.when((F.col("k") / 100 % 100) < cut, "ref")
-            .otherwise("test")
-            .alias("ref_or_test"),
+            F.lit(int(s * 100)).alias("cut"),
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+        for s in SIZES
+    ])
+    return g.select("url", "k", F.explode(sizes).alias("sz")).select(
+        "url",
+        F.col("sz.reference_size").alias("reference_size"),
+        F.when((F.col("k") / 100 % 100) < F.col("sz.cut"), "ref")
+        .otherwise("test")
+        .alias("ref_or_test"),
+    )
 
 
 def _auto_long(fields: DataFrame) -> DataFrame:
