@@ -47,6 +47,9 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from bisect import bisect_left
+from functools import lru_cache
+
 from .fuzzy import partial_ratio, ratio, token_set_ratio
 
 AUTO_SIZES = ["0.05", "0.1", "0.2"]  # the sizes the reference loop runs
@@ -89,45 +92,141 @@ def candidates_of(block_text: str) -> list[tuple[str, int]]:
     return out
 
 
+@lru_cache(maxsize=4096)
+def _lowered(values: tuple[str, ...]) -> list[tuple[str, str, int]]:
+    """(original, lowercase, length) per value — lowered once per distinct
+    dictionary instead of once per candidate×value pair."""
+    # length of the LOWERED form: that is what ratio() sees, and Unicode
+    # lowering can change length (e.g. 'İ' lowers to 2 chars)
+    return [(v, v.lower(), len(v.lower())) for v in values]
+
+
+@lru_cache(maxsize=4096)
+def _by_length(values: tuple[str, ...]) -> tuple[
+    list[tuple[str, str, int]], list[int]
+]:
+    """Lowered values sorted by lowered length, plus the length array for
+    bisect — the field loop scans them outward from the candidate's own
+    length, i.e. in non-increasing ratio_upper_bound order."""
+    low = sorted(_lowered(values), key=lambda t: t[2])
+    return low, [t[2] for t in low]
+
+
 def cascade_rows(
     block_text: str,
     dict_by_field: list[tuple[str, list[str]]],
     gazetteer: list[str],
 ) -> list[tuple[str, str, str]]:
-    """(field, value, stage) emissions for one block."""
+    """(field, value, stage) emissions for one block.
+
+    Hot path of the auto cascade: the candidate×dictionary double loop is
+    pruned with ``ratio_upper_bound`` (pair-level: partial ≤ 100 and
+    ratio is length-bounded; second level: after the cheap single-DP
+    ratio, the O(windows·DP) partial_ratio runs only if ``ratio + 100``
+    can still beat the running best).  Every skip is provably outside
+    the argmax, so emissions are byte-identical to the unpruned loop
+    (pinned by the auto_cascade_kernel oracle + test_auto_match)."""
     cands = candidates_of(block_text)
     out: list[tuple[str, str, str]] = []
     if not cands:
         return out
+    cl = [
+        (text, slen, text.lower(), len(text.lower()))
+        for text, slen in cands
+    ]
     for field, values in dict_by_field:
+        if not values:
+            continue
+        # Value-scan order is free here: ``best`` stores the CANDIDATE
+        # text, and for a fixed candidate the loop just maxes the score
+        # over values — so unlike the geo pass (which stores the value
+        # side), reordering values cannot change the result.  Scan them
+        # by length outward from the candidate's own length: upper bounds
+        # are then non-increasing, so the first unbeatable bound ends the
+        # whole value scan (break, not skip).
+        vals, lds = _by_length(tuple(values))
+        nv = len(vals)
         best: tuple[int, int, str] | None = None  # (score, slen, text)
-        min_row: tuple[int, str, str] | None = None  # (slen, text, data)
-        for text, slen in cands:
-            tl = text.lower()
-            for data in values:
-                dl = data.lower()
-                score = partial_ratio(tl, dl) + ratio(tl, dl)
+        # min_row quirk re-derived closed-form: the inner-loop update
+        # fires only while slen strictly drops, i.e. on the FIRST value
+        # of each new shortest candidate — so min_row is the earliest
+        # globally-shortest candidate paired with values[0]
+        mr_text = min(cl, key=lambda t: t[1])[0]
+        # ``best`` is only consulted through ``best[0] > INSERT_MIN`` (the
+        # token_set fallback reads min_row, not best), so INSERT_MIN is a
+        # valid prune floor: a pair whose bound cannot clear it can never
+        # change the emission, whatever its exact score.  Tracking best
+        # only over >INSERT_MIN pairs is therefore exact.
+        for text, slen, tl, lt in cl:
+            i = bisect_left(lds, lt) - 1
+            j = i + 1
+            while i >= 0 or j < nv:
+                # pick the side with the larger upper bound (merged
+                # sequence stays non-increasing)
+                ub_i = (
+                    200.0 * (lt if lt < lds[i] else lds[i]) / (lt + lds[i])
+                    if i >= 0 else -1.0
+                )
+                ub_j = (
+                    200.0 * (lt if lt < lds[j] else lds[j]) / (lt + lds[j])
+                    if j < nv else -1.0
+                )
+                if ub_j >= ub_i:
+                    k = j
+                    j += 1
+                    ub = 100.0 + ub_j
+                else:
+                    k = i
+                    i -= 1
+                    ub = 100.0 + ub_i
+                if ub <= INSERT_MIN:
+                    break  # every later value's bound is ≤ this one
+                if best is not None:
+                    bs, bl = best[0], best[1]
+                    if ub < bs or (ub == bs and slen <= bl):
+                        break
+                _, dl, _ = vals[k]
+                r = ratio(tl, dl)
+                s_ub = r + 100
+                if s_ub <= INSERT_MIN:
+                    continue  # partial ≤ 100 → score can't clear the gate
+                if best is not None and (
+                    s_ub < bs or (s_ub == bs and slen <= bl)
+                ):
+                    continue
+                score = partial_ratio(tl, dl) + r
+                if score <= INSERT_MIN:
+                    continue
                 if best is None or (score, slen) > (best[0], best[1]):
                     best = (score, slen, text)
-                if min_row is None or slen < min_row[0]:
-                    min_row = (slen, text, data)
-        if best is None:
-            continue
-        if best[0] > INSERT_MIN:
+        if best is not None:
             out.append((field, best[2], "score"))
-        elif min_row is not None:
+        else:
             # quirk: the globally-shortest row decides, not the max-score3 row
-            s3 = token_set_ratio(min_row[1].lower(), min_row[2].lower())
+            s3 = token_set_ratio(mr_text.lower(), values[0].lower())
             if s3 > TOKEN_SET_MIN:
-                out.append((field, min_row[1], "token_set"))
+                out.append((field, mr_text, "token_set"))
+    # Geo pass: gbest stores the VALUE side (the gazetteer name), so the
+    # scan order must stay the reference's — prune with skips only, never
+    # reorder.  GEO_MIN is a valid prune floor by the same argument as
+    # INSERT_MIN above (gbest is only consulted through > GEO_MIN).
     gbest: tuple[int, int, str] | None = None  # (score2, slen, name)
-    for text, slen in cands:
-        tl = text.lower()
-        for name in gazetteer:
-            s2 = ratio(tl, name.lower())
+    gaz_l = _lowered(tuple(gazetteer))
+    for text, slen, tl, lt in cl:
+        for name, nl, ln in gaz_l:
+            ub = 200.0 * (lt if lt < ln else ln) / (lt + ln)
+            if ub <= GEO_MIN:
+                continue
+            if gbest is not None:
+                gs, gl = gbest[0], gbest[1]
+                if ub < gs or (ub == gs and slen <= gl):
+                    continue
+            s2 = ratio(tl, nl)
+            if s2 <= GEO_MIN:
+                continue
             if gbest is None or (s2, slen) > (gbest[0], gbest[1]):
                 gbest = (s2, slen, name)
-    if gbest is not None and gbest[0] > GEO_MIN:
+    if gbest is not None:
         out.append(("country", gbest[2], "geo"))  # the gazetteer name
     return out
 
@@ -321,14 +420,22 @@ def auto_geo(
     if blocks is None:
         blocks = auto_blocks(spark, sf_dir)
     g = _gadm(spark, sf_dir)
-    states = sorted(
-        (r["state"], r["country"])
-        for r in g.select("state", "country").distinct().collect()
-    )
-    counties = sorted(
-        (r["county"] + " Co., " + r["state"], r["state"], r["country"])
-        for r in g.select("county", "state", "country").distinct().collect()
-    )
+    states = [
+        (n, c, len(n))
+        for n, c in sorted(
+            (r["state"], r["country"])
+            for r in g.select("state", "country").distinct().collect()
+        )
+    ]
+    counties = [
+        (n, s, c, len(n))
+        for n, s, c in sorted(
+            (r["county"] + " Co., " + r["state"], r["state"], r["country"])
+            for r in g.select(
+                "county", "state", "country"
+            ).distinct().collect()
+        )
+    ]
     bc = spark.sparkContext.broadcast((states, counties))
     work = _test_blocks(spark, sf_dir, blocks, sizes)
 
@@ -343,26 +450,49 @@ def auto_geo(
                 cands = candidates_of(text)
                 if not cands:
                     continue
+                # GEO_MIN is a valid prune floor (the argmax is only
+                # consulted through > GEO_MIN, as in cascade_rows); the
+                # value side carries hierarchy parents, so scan order is
+                # the reference's — skips only, never reordered.
+                cl = [(cand, slen, len(cand)) for cand, slen in cands]
                 # pass 2: state level
                 best = None  # (score2, slen, cand_text, country)
-                for cand, slen in cands:
-                    for name, country in states_l:
+                for cand, slen, lc in cl:
+                    for name, country, ln in states_l:
+                        ub = 200.0 * (lc if lc < ln else ln) / (lc + ln)
+                        if ub <= GEO_MIN:
+                            continue
+                        if best is not None:
+                            bs, bl = best[0], best[1]
+                            if ub < bs or (ub == bs and slen <= bl):
+                                continue
                         s2 = ratio(cand, name)  # case-sensitive (quirk)
+                        if s2 <= GEO_MIN:
+                            continue
                         if best is None or (s2, slen) > (best[0], best[1]):
                             best = (s2, slen, cand, country)
-                if best is not None and best[0] > GEO_MIN:
+                if best is not None:
                     rows.append((url, size, "state_territory", best[2],
                                  "geo_state", 2, int(block)))
                     rows.append((url, size, "country", best[3],
                                  "geo_state", 2, int(block)))
                 # pass 3: county level
                 best = None  # (score2, slen, cand_text, state, country)
-                for cand, slen in cands:
-                    for name, state, country in counties_l:
+                for cand, slen, lc in cl:
+                    for name, state, country, ln in counties_l:
+                        ub = 200.0 * (lc if lc < ln else ln) / (lc + ln)
+                        if ub <= GEO_MIN:
+                            continue
+                        if best is not None:
+                            bs, bl = best[0], best[1]
+                            if ub < bs or (ub == bs and slen <= bl):
+                                continue
                         s2 = ratio(cand, name)
+                        if s2 <= GEO_MIN:
+                            continue
                         if best is None or (s2, slen) > (best[0], best[1]):
                             best = (s2, slen, cand, state, country)
-                if best is not None and best[0] > GEO_MIN:
+                if best is not None:
                     rows.append((url, size, "district_county", best[2],
                                  "geo_county", 3, int(block)))
                     rows.append((url, size, "state_territory", best[3],
