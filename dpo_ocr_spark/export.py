@@ -114,20 +114,33 @@ def training_jsonl(spans: DataFrame) -> DataFrame:
 
 
 def _pystr_double(col: F.Column) -> F.Column:
-    """Render a double the way Python's ``str()`` does for the CSV value
-    domain: ``%.6f`` with trailing zeros trimmed (``0.85`` → ``0.85``,
-    ``1.0`` → ``1.0``, ``0.0005`` → ``0.0005``).  A bare cast-to-string
-    would use Java's Double.toString, which switches to exponent form
-    below 1e-3 (``5.0E-4``) where Python repr still writes decimals — the
-    r4 advice finding.  Remaining documented boundary: values needing
-    more than 6 fractional digits for round-trip (the engine's confidence
-    granularity is 0.01) would be truncated; Python repr would not."""
-    trimmed = F.regexp_replace(F.format_string("%.6f", col), "0+$", "")
+    """Render a double the way Python's ``str()`` does for the [0, 1]
+    confidence-like CSV value domain: decimals with trailing zeros
+    trimmed (``0.85``, ``1.0``, ``0.0005``), switching to Python's
+    exponent form strictly below 1e-4 (``5e-05``, ``1.5e-05``) — Python
+    repr's actual cutover, NOT Java Double.toString's 1e-3 (``5.0E-4``,
+    the r4 advice finding) and not 1e-3 as an earlier docstring implied.
+    Java's ``%e`` exponent shape (lowercase e, sign, min two digits)
+    matches Python's.  Remaining documented boundary: mantissas needing
+    more than 6 fractional digits for round-trip (the engine's
+    confidence granularity is 0.01) would be truncated, and magnitudes
+    ≥ 1e16 would stay decimal; Python repr would not."""
+    dec = F.regexp_replace(F.format_string("%.6f", col), "0+$", "")
+    dec = F.when(dec.rlike("\\.$"), F.concat(dec, F.lit("0"))).otherwise(dec)
+    # exponent band: %.6e then trim the mantissa like Python ('5.000000e-05'
+    # → '5e-05'; Python writes no '.0' on integral mantissas)
+    sci = F.format_string("%.6e", col)
+    mant = F.regexp_replace(
+        F.regexp_extract(sci, "^([^e]+)e", 1), "0+$", ""
+    )
+    mant = F.regexp_replace(mant, "\\.$", "")
+    sci_py = F.concat(mant, F.lit("e"), F.regexp_extract(sci, "e(.+)$", 1))
+    in_exp_band = (F.abs(col) < 1e-4) & (F.abs(col) > 0)
     # format_string renders NULL input as the literal 'null' — propagate
     # NULL instead so the sink's quoted-empty coalesce still fires
     return F.when(col.isNull(), F.lit(None)).when(
-        trimmed.rlike("\\.$"), F.concat(trimmed, F.lit("0"))
-    ).otherwise(trimmed)
+        in_exp_band, sci_py
+    ).otherwise(dec)
 
 
 def csv_line_col() -> F.Column:

@@ -182,8 +182,14 @@ def cascade_rows(
                 if ub <= INSERT_MIN:
                     break  # every later value's bound is ≤ this one
                 if best is not None:
+                    # ratio() rounds half-even, so the max achievable
+                    # score is 100 + round(raw bound), not 100 + bound:
+                    # a .5 bound below best still reaches it when the
+                    # half rounds up.  round() is monotone, so the
+                    # merged-scan break stays safe on the rounded bound.
+                    rub = 100 + round(ub - 100.0)
                     bs, bl = best[0], best[1]
-                    if ub < bs or (ub == bs and slen <= bl):
+                    if rub < bs or (rub == bs and slen <= bl):
                         break
                 _, dl, _ = vals[k]
                 r = ratio(tl, dl)
@@ -218,8 +224,11 @@ def cascade_rows(
             if ub <= GEO_MIN:
                 continue
             if gbest is not None:
+                # rounded bound: ratio() = round(half-even) of the same
+                # float, so round(ub) is the exact max achievable score2
+                rub = round(ub)
                 gs, gl = gbest[0], gbest[1]
-                if ub < gs or (ub == gs and slen <= gl):
+                if rub < gs or (rub == gs and slen <= gl):
                     continue
             s2 = ratio(tl, nl)
             if s2 <= GEO_MIN:
@@ -463,8 +472,12 @@ def auto_geo(
                         if ub <= GEO_MIN:
                             continue
                         if best is not None:
+                            # rounded bound — see cascade_rows: ratio()
+                            # rounds half-even, round(ub) is the exact
+                            # max achievable score for this pair
+                            rub = round(ub)
                             bs, bl = best[0], best[1]
-                            if ub < bs or (ub == bs and slen <= bl):
+                            if rub < bs or (rub == bs and slen <= bl):
                                 continue
                         s2 = ratio(cand, name)  # case-sensitive (quirk)
                         if s2 <= GEO_MIN:
@@ -484,8 +497,12 @@ def auto_geo(
                         if ub <= GEO_MIN:
                             continue
                         if best is not None:
+                            # rounded bound — see cascade_rows: ratio()
+                            # rounds half-even, round(ub) is the exact
+                            # max achievable score for this pair
+                            rub = round(ub)
                             bs, bl = best[0], best[1]
-                            if ub < bs or (ub == bs and slen <= bl):
+                            if rub < bs or (rub == bs and slen <= bl):
                                 continue
                         s2 = ratio(cand, name)
                         if s2 <= GEO_MIN:

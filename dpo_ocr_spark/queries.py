@@ -576,10 +576,14 @@ _FIRST = [
     # fuzzy-cascade kernel on crafted hand-derivable blocks — the value
     # check standing in for the corpus-scale auto_match (rows-only)
     "auto_cascade_kernel",
-    # --- 50-slot boundary: everything below is outside the driver sample;
-    # the r1-r4 greens rotate to the tail, covered by the local sweep
-    # (ORACLES_r{N}.txt) every round.
+    # slots 49-50: the streaming drains, value-checked against the batch
+    # extraction oracle this round and never driver-sampled before
+    "streaming_extract", "streaming_dedup",
+    # --- 50-slot boundary (exactly 50 names above): everything below is
+    # outside the driver sample; the r1-r4 greens rotate to the tail,
+    # covered by the local sweep (ORACLES_r{N}.txt) every round.
 ]
+assert len(_FIRST) == 50, "driver-sample boundary must be deliberate"
 
 
 def _rotate() -> None:

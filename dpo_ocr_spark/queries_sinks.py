@@ -160,20 +160,16 @@ def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_type) DO UPDATE SET interpreted_value, verbatim_value) driven by
     a deterministic update set: a conflicting update per year row plus a
     brand-new key per url."""
+    from .interpret.labels import _label_base
     from .interpret.match import merge_fields
 
     base = _full_frame(spark, sf_dir).filter(
         (F.col("data_type") == "verbatim_date")
         & (F.col("data_source") == "")
     )
-    o = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .filter(F.col("o_orderkey") % 100 == 0)
-        .select(
-            F.concat(F.lit("label://"), F.col("o_orderkey")).alias("url"),
-            F.col("o_orderkey").alias("k"),
-            F.year("o_orderdate").cast("string").alias("yr"),
-        )
+    # fixture base (url scheme, %100 filter) from the one shared builder
+    o = _label_base(spark, sf_dir).select(
+        "url", "k", F.year("d").cast("string").alias("yr")
     )
     u1 = o.select(
         "url", F.lit(2).alias("block_id"),
@@ -453,16 +449,10 @@ def _q_century_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
     untouched).  ``'99`` never parses at all — the reference's stage-2
     retry loop is ``range(99)`` (:158), which excludes 99 — so the
     oracle excludes those rows, pinning the quirk at value level."""
+    from .interpret.labels import _label_base
     from .interpret.match import interpret_dates
 
-    o = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .filter(F.col("o_orderkey") % 100 == 0)
-        .select(
-            F.concat(F.lit("label://"), F.col("o_orderkey")).alias("url"),
-            F.col("o_orderdate").alias("d"),
-        )
-    )
+    o = _label_base(spark, sf_dir).select("url", "d")
     mon = F.element_at(
         F.array(*[F.lit(m) for m in _MONTHS]), F.month("d")
     )
@@ -512,34 +502,20 @@ def _q_fuzzy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .interpret.fuzzy import partial_ratio, ratio, token_set_ratio
 
-    o = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .filter(F.col("o_orderkey") % 100 == 0)
-    )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    from .interpret.labels import county_col, tail_col
+    from .interpret.labels import _label_base, _locality_text, county_col
 
-    base = (
-        o.join(cust, o.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .select(
-            F.concat(F.lit("label://"), F.col("o_orderkey")).alias("url"),
-            F.col("o_orderkey").alias("k"),
-            F.col("c_name").alias("cname"),
-            F.initcap("n_name").alias("state"),
-        )
-    )
+    base = _label_base(spark, sf_dir, nation=True)
     gaz = F.concat(county_col(F.col("k")), F.lit(" Co., "), F.col("state"))
     p1 = base.select(
         "url", F.lit("collector").alias("pair"),
         F.col("cname").alias("a"),
         F.concat(F.lit("Coll. "), "cname").alias("b"),
     )
+    # b is exactly the block-4 locality text; a is its gazetteer prefix
     p2 = base.select(
         "url", F.lit("locality").alias("pair"),
         gaz.alias("a"),
-        F.concat(gaz, F.lit(" "), tail_col(F.col("k"))).alias("b"),
+        _locality_text().alias("b"),
     )
 
     def score(it):

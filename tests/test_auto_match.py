@@ -98,6 +98,31 @@ def test_geo_inserts_gazetteer_name_not_candidate():
     assert cascade_rows("in GERMAN near camp", [], ["GERMANY"]) == []
 
 
+def test_prune_bound_survives_half_even_rounding():
+    """ratio() = round(200*M/T) rounds half-even, so a pair whose RAW
+    length bound is exactly best-0.5 can still round up to TIE the
+    running best and win on string_len.  The prunes must therefore
+    compare round(bound), not the raw float (regression: r5 review).
+
+    Crafted boundary: len 199 vs len 201 with 2 edits → raw 99.5,
+    ratio = round(99.5) = 100."""
+    w = "w" * 199
+    assert ratio(w, w + "xy") == 100  # the half that rounds up
+    # geo pass: 'abcde' matches gazetteer 'abcde' first (score2=100,
+    # slen=5); the 199-char candidate's raw bound vs the 201-char name
+    # is 99.5 — a raw-float prune would skip it, but it ties at 100
+    # with larger slen and must win (gbest stores the gazetteer NAME)
+    rows = cascade_rows(f"abcde {w} end", [], ["abcde", w + "xy"])
+    assert rows == [("country", w + "xy", "geo")]
+    # insert pass, same shape: best=(200,5) via the exact 'abcde' hit;
+    # the 199-char candidate reaches partial 100 + ratio 100 = 200 and
+    # ties with larger slen → the CANDIDATE text must be emitted
+    rows = cascade_rows(
+        f"abcde {w} end", [("collector", ["abcde", w + "xy"])], []
+    )
+    assert rows == [("collector", w, "score")]
+
+
 def test_tie_break_first_in_pinned_order():
     """nlargest(keep='first') over candidate-major order: two dict values
     scoring identically → the first (sorted) value's score row wins, and

@@ -66,3 +66,13 @@ def test_canaries_hold_registry_slots_3_to_12():
     assert names[:2] == ["extract_text", "block_assembly"]
     assert all(n.startswith("canary_") for n in names[2:12])
     assert len([n for n in names[:12] if n.startswith("canary_")]) == 10
+
+
+def test_driver_sample_boundary_is_deliberate():
+    """All 50 driver-sampled slots are named in _FIRST — no query receives
+    a driver row by registration-order accident, and a future module
+    reorder cannot silently swap which queries are sampled."""
+    names = list(Q.QUERIES)
+    assert len(Q._FIRST) == 50
+    assert names[:50] == Q._FIRST
+    assert names[48:50] == ["streaming_extract", "streaming_dedup"]

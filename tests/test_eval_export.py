@@ -255,6 +255,11 @@ def test_tokens_csv_quote_nonnumeric_exact(tmp_path, spark):
         ('say "hi", ok', 2, 1, 1, 3, 1.0, None),
         # NULL cells must render as quoted-empty like csv's None → ""
         (None, 3, 1, 2, None, None, [9, 9, 9, 9, 9, 9, 9, 9]),
+        # Python str() exponent band (< 1e-4): '5e-05' / '1.5e-05', while
+        # 0.0005 stays decimal — the r5 review's [1e-6, 1e-4) boundary
+        ("tiny", 4, 1, 3, 4, 5e-05, None),
+        ("tinier", 5, 1, 4, 5, 1.5e-05, None),
+        ("milli", 6, 1, 5, 6, 0.0005, None),
     ]
     tokens = spark.createDataFrame(
         rows,
