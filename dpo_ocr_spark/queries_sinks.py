@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .queries import _TOKENS_CTE, register, _tokens
+from .queries import _ETEXT_CTE, _TOKENS_CTE, register, _tokens
 from .queries_cascade import _CASCADE_CTE, _SQL_DATES, _full_frame
 from .sqlfrags import _COUNTY_SQL
 
@@ -123,6 +123,51 @@ def _q_json_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(
             F.struct("url", "payload_kind", "n_tokens", "text")
         ).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7: checkpoint resume (delete-by-project + rerun analog,
+# block_identification.py:63; scale.py lineage/resume_filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "resume_extract",
+    f"""
+WITH {_ETEXT_CTE}
+SELECT url, etext AS text FROM paras
+""",
+)
+def _q_resume_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 end-to-end value check: an extraction run that died after
+    committing only salt-partitions 0-3 of 8 (its per-partition lineage
+    rows landed with the results), resumed via the content-based
+    ``resume_filter``, must produce output byte-identical to a clean
+    full run — so the oracle is exactly ``extract_text``'s.  Exercises
+    the real job path: ``salted_repartition`` → ``extract_pages`` →
+    ``with_lineage`` on the first run, then lineage-driven anti-join and
+    re-extraction of ONLY the failed partitions' pages."""
+    from .corpus import build_web_pages
+    from .extract import extract_pages
+    from .scale import (
+        resume_bucket,
+        resume_filter,
+        salted_repartition,
+        with_lineage,
+    )
+
+    pages = build_web_pages(spark, sf_dir)
+    # the dead run: only the pages of salt-buckets 0-3 were processed
+    first_half = pages.filter(resume_bucket(8) < 4)
+    committed, lineage = with_lineage(
+        extract_pages(salted_repartition(first_half, 8)), num_buckets=8
+    )
+    # the resume run: pending rows recomputed from lineage alone
+    pending = resume_filter(pages, lineage)
+    resumed = extract_pages(salted_repartition(pending, 8))
+    return committed.select("url", "text").unionByName(
+        resumed.select("url", "text")
     )
 
 
