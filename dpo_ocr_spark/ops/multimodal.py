@@ -106,24 +106,35 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
 
 
 def decode_stub(payload: bytes) -> "object":
-    """Image decode is REAL now: PPM, PNG (full 8-bit, all filters,
-    Adam7 interlace) and JPEG (baseline SOF0 + progressive SOF2,
-    Huffman+IDCT, 4:4:4/4:2:2/4:2:0, restart markers) are implemented
-    numpy-only in ops/codecs.py and oracle-checked via the
-    image_autocrop / image_autocrop_png / image_autocrop_jpeg queries.
-    This stub marks only the remaining NON-image boundary (audio/video:
-    libsndfile/ffmpeg are not in this container) plus exotic image
-    variants the decoders reject explicitly (arithmetic-coded JPEG,
-    16-bit depths)."""
+    """Every in-scope modality decodes for REAL now: images via
+    ops/codecs.py (PPM; PNG full 8-bit, all filters, Adam7; JPEG
+    baseline SOF0 + progressive SOF2, Huffman+IDCT, 4:4:4/4:2:2/4:2:0,
+    restart markers), audio via ops/av.py decode_wav (RIFF/WAVE PCM
+    u8/s16/s24/s32, multichannel) and video via ops/av.py decode_avi
+    (MJPEG-in-AVI container walk + per-frame JPEG decode) — each
+    oracle-checked via the image_autocrop* / audio_features /
+    video_frame_sample queries.  What remains rejected (not faked):
+    compressed audio (MP3/AAC/FLAC) and inter-frame video codecs
+    (H.264/VP9), plus exotic image variants the decoders reject
+    explicitly (arithmetic-coded JPEG, 16-bit depths)."""
     if payload[:2] in (b"P6", b"\xff\xd8") or payload[:8].startswith(
         b"\x89PNG"
     ):
         from .codecs import decode_image
 
         return decode_image(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from .av import decode_wav
+
+        return decode_wav(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from .av import decode_avi
+
+        return decode_avi(payload)
     raise NotImplementedError(
-        "audio/video decode requires libs not present in this "
-        "environment (see ops/codecs.py for the real image paths)"
+        "compressed audio / inter-frame video codecs require libs not "
+        "present in this environment (see ops/av.py for the real "
+        "WAV/MJPEG-AVI paths)"
     )
 
 

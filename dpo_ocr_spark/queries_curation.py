@@ -347,3 +347,18 @@ _register("url_normalize", C.url_normalize, C.URL_NORMALIZE_ORACLE)
 _register("unicode_normalize", C.unicode_normalize, C.UNICODE_NORMALIZE_ORACLE)
 
 _register("cube_summary", EV.cube_summary, EV.CUBE_SUMMARY_ORACLE)
+
+# r5 late additions: the audio/video stub in ops/multimodal.py replaced
+# by REAL container decode paths (RIFF/WAVE PCM + MJPEG-in-AVI, pure
+# stdlib/numpy — see ops/av.py header for the honest remaining boundary:
+# compressed audio / inter-frame video codecs).  Designed-fixture exact
+# oracles, BIGINT/INT-only outputs per the r5 type ban.
+from .ops.av import (  # noqa: E402
+    AUDIO_FEATURES_ORACLE,
+    VIDEO_FRAME_SAMPLE_ORACLE,
+    audio_features,
+    video_frame_sample,
+)
+
+_register("audio_features", audio_features, AUDIO_FEATURES_ORACLE)
+_register("video_frame_sample", video_frame_sample, VIDEO_FRAME_SAMPLE_ORACLE)
