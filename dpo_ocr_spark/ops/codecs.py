@@ -63,15 +63,58 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported (got depth={depth})")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad PNG bit depth {depth}")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"unknown PNG color type {color}")
     ch = _PNG_CHANNELS[color]
     raw = zlib.decompress(b"".join(idat))
-    if interlace == 0:
+    if depth != 8:
+        # non-8-bit depths: filtering is byte-domain (PNG spec §9 — bpp
+        # rounds up to 1 for sub-byte), then samples unpack MSB-first
+        # (sub-byte) or reduce to the high byte (16-bit).  Interlaced
+        # non-8-bit streams are rare enough to reject explicitly.
+        if interlace != 0:
+            raise ValueError(
+                f"interlaced {depth}-bit PNG not supported (Adam7 is "
+                "implemented for 8-bit only)"
+            )
+        if depth == 16:
+            if color == 3:
+                raise ValueError("16-bit paletted PNG is illegal")
+            rows = _png_unfilter_rows(raw, 0, w * ch * 2, h, ch * 2)
+            if rows.shape[0] * (rows.shape[1] + 1) != len(raw):
+                raise ValueError("PNG raster size mismatch")
+            img = rows.reshape(h, w, ch, 2)[:, :, :, 0]  # big-endian hi
+        else:
+            if color not in (0, 3):
+                raise ValueError(
+                    f"depth {depth} is only legal for gray/palette PNG"
+                )
+            row_bytes = (w * depth + 7) // 8
+            if len(raw) != h * (row_bytes + 1):
+                raise ValueError("PNG raster size mismatch")
+            rows = _png_unfilter_rows(raw, 0, row_bytes, h, 1)
+            bits = np.unpackbits(rows, axis=1)
+            if depth == 1:
+                vals = bits[:, :w]
+            else:
+                weights = (1 << np.arange(depth - 1, -1, -1)).astype(
+                    np.uint8
+                )
+                vals = (
+                    (bits.reshape(h, -1, depth) * weights).sum(axis=2)
+                )[:, :w]
+            if color == 3:
+                if plte is None:
+                    raise ValueError("paletted PNG missing PLTE")
+                return plte[vals]
+            # gray sample scaling v * 255/(2^d - 1) is exact for d=1,2,4
+            g = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+            return np.repeat(g[:, :, None], 3, axis=2)
+    elif interlace == 0:
         if len(raw) != h * (w * ch + 1):
             raise ValueError("PNG raster size mismatch")
         img = _png_unfilter(raw, 0, w, h, ch).reshape(h, w, ch)
@@ -89,9 +132,17 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 def _png_unfilter(raw: bytes, pos: int, w: int, h: int, ch: int) -> np.ndarray:
-    """Reverse PNG scanline filters over one sub-image region: consumes
-    ``h * (w*ch + 1)`` bytes at ``pos``, returns (h, w*ch) uint8."""
-    stride = w * ch
+    """Reverse PNG scanline filters over one 8-bit sub-image region:
+    consumes ``h * (w*ch + 1)`` bytes at ``pos``, returns (h, w*ch)."""
+    return _png_unfilter_rows(raw, pos, w * ch, h, ch)
+
+
+def _png_unfilter_rows(
+    raw: bytes, pos: int, stride: int, h: int, ch: int
+) -> np.ndarray:
+    """Byte-domain unfilter (PNG spec §9): ``stride`` bytes per scanline,
+    ``ch`` = filter displacement in BYTES (bpp, min 1 — so sub-byte
+    depths pass 1 and 16-bit depths pass channels*2)."""
     out = np.empty((h, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
     for y in range(h):
@@ -186,6 +237,43 @@ def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
                 ).tobytes()
             )
         raster = b"".join(parts)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raster, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_gray(img: np.ndarray, depth: int = 1) -> bytes:
+    """(h, w, 3) uint8 RGB (gray-valued, each sample an exact multiple of
+    255/(2^depth - 1)) → grayscale PNG at bit depth 1/2/4/8 — the fixture
+    encoder for the sub-byte decode path.  Lossless by construction: the
+    assert rejects any image the depth cannot represent exactly."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    assert depth in (1, 2, 4, 8)
+    g = img[:, :, 0]
+    assert (img == g[:, :, None]).all(), "not a gray-valued image"
+    maxv = (1 << depth) - 1
+    scale = 255 // maxv
+    assert (g % scale == 0).all(), f"samples not exact at depth {depth}"
+    v = (g // scale).astype(np.uint8)
+    if depth == 8:
+        packed = v
+    else:
+        bits = np.unpackbits(v[:, :, None], axis=2)[:, :, 8 - depth:]
+        flat = bits.reshape(h, w * depth)
+        pad = (-flat.shape[1]) % 8
+        if pad:
+            flat = np.concatenate(
+                [flat, np.zeros((h, pad), np.uint8)], axis=1
+            )
+        packed = np.packbits(flat, axis=1)
+    raster = np.concatenate(
+        [np.zeros((h, 1), np.uint8), packed], axis=1
+    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)

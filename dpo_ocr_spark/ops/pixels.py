@@ -203,12 +203,15 @@ def image_autocrop(
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .codecs import decode_image, encode_jpeg, encode_png
 
-        from .codecs import encode_jpeg_progressive
+        from .codecs import encode_jpeg_progressive, encode_png_gray
 
         encoders = {
             "ppm": lambda im: encode_ppm(im),
             "png": encode_png,
             "png_adam7": lambda im: encode_png(im, interlace=True),
+            # the fixture is pure black/white, so the 1-bit grayscale
+            # path is lossless for it — exercises the sub-byte decoder
+            "png_gray1": lambda im: encode_png_gray(im, depth=1),
             "jpeg": lambda im: encode_jpeg(im, 92, "420"),
             "jpeg_prog": lambda im: encode_jpeg_progressive(im, 92, "420"),
         }

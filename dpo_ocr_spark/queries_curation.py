@@ -308,6 +308,14 @@ _register(
     lambda spark, sf_dir: image_autocrop(spark, sf_dir, codec="jpeg_prog"),
     IMAGE_AUTOCROP_ORACLE,
 )
+# r5: the sub-byte PNG decode path (1/2/4-bit gray + palette, 16-bit) —
+# the fixture is pure black/white, so 1-bit grayscale is lossless for it
+# and the same arithmetic oracle applies
+_register(
+    "image_autocrop_png_1bit",
+    lambda spark, sf_dir: image_autocrop(spark, sf_dir, codec="png_gray1"),
+    IMAGE_AUTOCROP_ORACLE,
+)
 
 
 def _cluster_reps_oracle() -> str:

@@ -207,13 +207,18 @@ def test_dispatch_and_unknown():
         decode_image(b"RIFF....WAVE")
 
 
-def test_decode_stub_images_real_audio_not():
+def test_decode_stub_images_real_audio_real_compressed_not():
     from dpo_ocr_spark.ops.multimodal import decode_stub
 
     img = RNG.integers(0, 256, (6, 6, 3), dtype=np.uint8)
     assert decode_stub(encode_png(img)).shape == (6, 6, 3)
-    with pytest.raises(NotImplementedError):
+    # WAV decodes for REAL now (ops/av.py) — a malformed RIFF is a loud
+    # ValueError, not a stub reject...
+    with pytest.raises(ValueError):
         decode_stub(b"RIFF....WAVE")
+    # ...and only genuinely-compressed formats remain NotImplemented
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"ID3\x04" + b"\x00" * 16)
 
 
 # --- property-based (hypothesis) -------------------------------------------
@@ -337,3 +342,112 @@ def test_png_adam7_roundtrip():
         assert np.array_equal(
             decode_png(encode_png(img, interlace=True)), img
         )
+
+
+# --- non-8-bit PNG depths (r5: sub-byte gray/palette + 16-bit) --------------
+
+
+def _craft_png_depth(w, h, depth, color, raster, plte=None):
+    """Hand-build a PNG at an arbitrary bit depth from pre-filtered
+    scanline bytes (each row: 1 filter byte + packed samples)."""
+
+    def chunk(typ, payload):
+        crc = zlib.crc32(typ + payload) & 0xFFFFFFFF
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", crc)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    )
+    if plte is not None:
+        out += chunk(b"PLTE", plte.tobytes())
+    out += chunk(b"IDAT", zlib.compress(raster))
+    return out + chunk(b"IEND", b"")
+
+
+def _pack_row(row, depth):
+    """MSB-first sub-byte sample packing (PNG spec §7.2)."""
+    bits = np.unpackbits(row[:, None].astype(np.uint8), axis=1)[:, 8 - depth:]
+    flat = bits.flatten()
+    flat = np.concatenate([flat, np.zeros((-len(flat)) % 8, np.uint8)])
+    return np.packbits(flat).tobytes()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_gray(depth):
+    w, h = 13, 5  # w chosen so rows need end-of-byte padding
+    maxv = (1 << depth) - 1
+    px = RNG.integers(0, maxv + 1, (h, w)).astype(np.uint8)
+    rows = bytearray()
+    prev = None
+    for y in range(h):
+        packed = _pack_row(px[y], depth)
+        if y % 2 == 1 and prev is not None:  # exercise the 'up' filter
+            rows += b"\x02" + bytes(
+                (a - b) & 0xFF for a, b in zip(packed, prev)
+            )
+        else:
+            rows += b"\x00" + packed
+        prev = packed
+    img = decode_png(_craft_png_depth(w, h, depth, 0, bytes(rows)))
+    scale = 255 // maxv  # exact PNG sample scaling for d = 1, 2, 4
+    assert (img == np.repeat((px * scale)[:, :, None], 3, axis=2)).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_palette(depth):
+    w, h = 11, 4
+    n = 1 << depth
+    plte = RNG.integers(0, 256, (n, 3), dtype=np.uint8)
+    idx = RNG.integers(0, n, (h, w)).astype(np.uint8)
+    rows = b"".join(b"\x00" + _pack_row(idx[y], depth) for y in range(h))
+    img = decode_png(_craft_png_depth(w, h, depth, 3, rows, plte))
+    assert (img == plte[idx]).all()
+
+
+def test_png_16bit_gray_and_rgb():
+    w, h = 9, 6
+    g16 = (np.arange(w * h, dtype=np.uint16).reshape(h, w) * 523) % 65536
+    rows = bytearray()
+    for y in range(h):
+        be = bytearray(g16[y].astype(">u2").tobytes())
+        for i in range(len(be) - 1, 1, -1):  # 'sub' filter, bpp=2
+            be[i] = (be[i] - be[i - 2]) & 0xFF
+        rows += b"\x01" + bytes(be)
+    img = decode_png(_craft_png_depth(w, h, 16, 0, bytes(rows)))
+    hi = (g16 >> 8).astype(np.uint8)
+    assert (img == np.repeat(hi[:, :, None], 3, axis=2)).all()
+
+    rgb = (np.arange(w * h * 3, dtype=np.uint16).reshape(h, w, 3) * 997) % 65536
+    rows = b"".join(b"\x00" + rgb[y].astype(">u2").tobytes() for y in range(h))
+    img = decode_png(_craft_png_depth(w, h, 16, 2, rows))
+    assert (img == (rgb >> 8).astype(np.uint8)).all()
+
+
+def test_png_16bit_rgba_drops_alpha():
+    w, h = 5, 3
+    rgba = (np.arange(w * h * 4, dtype=np.uint16).reshape(h, w, 4) * 811) % 65536
+    rows = b"".join(b"\x00" + rgba[y].astype(">u2").tobytes() for y in range(h))
+    img = decode_png(_craft_png_depth(w, h, 16, 6, rows))
+    assert (img == (rgba[:, :, :3] >> 8).astype(np.uint8)).all()
+
+
+def test_png_depth_rejections():
+    w, h = 4, 2
+    plte = np.zeros((2, 3), np.uint8)
+    rows = b"\x00" + b"\x00" * 16
+    with pytest.raises(ValueError, match="illegal"):
+        decode_png(_craft_png_depth(w, h, 16, 3, rows * h, plte))
+    with pytest.raises(ValueError, match="bad PNG bit depth"):
+        decode_png(_craft_png_depth(w, h, 3, 0, rows * h))
+    with pytest.raises(ValueError, match="only legal for gray/palette"):
+        decode_png(_craft_png_depth(w, h, 4, 2, rows * h))
+    # interlaced sub-byte: explicit reject, not garbage
+    data = bytearray(_craft_png_depth(w, h, 1, 0, b"\x00\x00" * h))
+    data[8 + 8 + 12] = 1  # interlace byte inside IHDR
+    # CRC is not verified by the decoder, so flipping the byte is enough
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(bytes(data))
