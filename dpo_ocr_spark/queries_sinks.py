@@ -731,3 +731,45 @@ def _q_auto_cascade_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocks.mapInPandas(
         run, "url string, field string, value string, stage string"
     )
+
+
+# ---------------------------------------------------------------------------
+# S5: append sink (sources/iceberg.write_results parquet fallback —
+# block_identification.py's to_sql(..., if_exists='append') analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "append_sink",
+    """
+SELECT CAST(doc_id % 3 AS INT) AS slice,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM documents
+WHERE doc_id % 3 < 2
+GROUP BY 1
+""",
+)
+def _q_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 end-to-end value check through a REAL double append: two
+    designed slices of ``documents`` are written to the same parquet
+    target via ``write_results(mode='append')``, then the target is read
+    back and aggregated — the second write must ADD files, not clobber
+    the first (an overwrite would lose slice 0 and fail the hash)."""
+    from .session import scratch_dir
+    from .sources.iceberg import write_results
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.col("doc_id") % 3).cast("int").alias("slice")
+    )
+    target = scratch_dir("append_sink_") + "/out"
+    write_results(docs.filter(F.col("slice") == 0), target)
+    write_results(docs.filter(F.col("slice") == 1), target)
+    return (
+        spark.read.parquet(target)
+        .groupBy("slice")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+    )
