@@ -564,10 +564,15 @@ _FIRST = [
     "cascade_dates", "cascade_elevation", "cascade_locality",
     "cascade_taxonomy", "cascade_collector", "cascade_fallback",
     "interpret_full",
-    # never-driver-sampled r4 additions (VERDICT r4 #6)
+    # never-driver-sampled r4 additions (VERDICT r4 #6).  The auto
+    # accuracy page takes its slot via the designed-fields twin (exact
+    # SQL oracle; it executes the SAME stage-cached auto cascade as the
+    # rows-only full page) so the sample carries zero no_oracle rows
+    # (VERDICT r4 #4 done-criterion); eval_accuracy_auto itself stays
+    # below the line, pytest-pinned + local-sweep rows.
     "substring_dedup", "substring_dedup_spans",
     "image_autocrop_png_adam7", "image_autocrop_jpeg_prog",
-    "eval_accuracy_auto",
+    "eval_accuracy_auto_designed",
     # previously unit-only operators, promoted to oracle-backed queries
     # this round (r4 coverage table: S6/S8/S9, F3/F7, J7, U3, C1/C5/C7/C9)
     "csv_cells", "json_response", "merge_upsert", "ignore_list_filter",
