@@ -370,3 +370,68 @@ from .ops.av import (  # noqa: E402
 
 _register("audio_features", audio_features, AUDIO_FEATURES_ORACLE)
 _register("video_frame_sample", video_frame_sample, VIDEO_FRAME_SAMPLE_ORACLE)
+
+
+# r5 sketch layer (ops/sketches.py): fixed-size mergeable summaries for
+# the operators whose exact forms carry corpus-proportional shuffle or
+# state at 10^12 docs.  All outputs BIGINT/BOOL/VARCHAR-exact; the two
+# approximate paths are value-checked without hashing an estimate —
+# decontaminate_bloom's verify join restores exact semantics (it reuses
+# the exact oracle verbatim), and gram_cardinality_hll emits the exact
+# count plus an integer-math ±5% agreement flag the oracle pins TRUE.
+from .ops import sketches as SKT  # noqa: E402
+
+_register(
+    "decontaminate_bloom", SKT.decontaminate_bloom, C.DECONTAMINATE_ORACLE
+)
+
+_register(
+    "source_counts_cms",
+    SKT.source_counts_cms,
+    """
+SELECT source, count(*) AS n_docs
+FROM documents GROUP BY 1
+""",
+)
+
+_WS_TERMS = (
+    "unnest(regexp_split_to_array(regexp_replace(lower(text),"
+    " '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' '))"
+)
+
+_register(
+    "term_topk_sketch",
+    SKT.term_topk_sketch,
+    f"""
+WITH w AS (SELECT {_WS_TERMS} AS term FROM documents),
+c AS (SELECT term, count(*) AS n FROM w GROUP BY 1)
+SELECT term, n FROM c ORDER BY n DESC, term LIMIT {SKT.TOPK_K}
+""",
+)
+
+_GRAMS_BY_LANG = f"""
+ws AS (
+  SELECT lang,
+         regexp_split_to_array(
+           regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'), ' ') AS w
+  FROM documents
+), g AS (
+  SELECT lang,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - {C.N_DECON - 1}, 1)),
+           i -> array_to_string(w[i:i + {C.N_DECON - 1}], ' '))) AS gram
+  FROM ws
+)
+"""
+
+_register(
+    "gram_cardinality_hll",
+    SKT.gram_cardinality_hll,
+    f"""
+WITH {_GRAMS_BY_LANG}
+SELECT lang, count(DISTINCT gram) AS n_distinct, TRUE AS est_ok
+FROM g GROUP BY 1
+UNION ALL
+SELECT 'ALL', count(DISTINCT gram), TRUE FROM g
+""",
+)
