@@ -6,17 +6,20 @@ compressed — ``.jpg`` scans (ML/google_vision/run_gvision_ocr.py:86) fed
 to autocrop (data_prep/NMAH_Ledgers/autocrop.py:22-55) — so this module
 closes the boundary with no codec libraries, which the container lacks:
 
-- **PNG**: full 8-bit decoder — gray / RGB / palette / gray+alpha / RGBA,
-  all five scanline filters, Adam7 interlace (seven independently
-  filtered sub-images scattered onto the raster), zlib (stdlib) inflate;
-  plus a filter-0 encoder (fixtures + sinks).  Sub-8-bit depths are
-  rejected with a clear error (web corpora are overwhelmingly 8-bit).
-- **JPEG**: baseline sequential (SOF0) AND progressive (SOF2) decoder —
-  canonical Huffman, spectral selection + successive approximation
-  (DC/AC first and refinement scans, EOB runs), dequant, batched 8×8
-  IDCT, chroma upsampling for 4:4:4 / 4:2:2 / 4:2:0, restart markers —
-  plus baseline and progressive encoders used by fixtures.
-  Arithmetic coding / hierarchical / 12-bit are rejected explicitly.
+- **PNG**: full decoder across bit depths — 1/2/4/8-bit gray and
+  palette, 8-bit RGB / gray+alpha / RGBA, 16-bit gray/RGB/alpha
+  (high-byte reduction), all five scanline filters, Adam7 interlace
+  (seven independently filtered sub-images scattered onto the raster),
+  zlib (stdlib) inflate; plus filter-0 encoders (fixtures + sinks).
+- **JPEG**: baseline sequential (SOF0), extended sequential (SOF1,
+  8-bit and 12-bit with 16-bit quant tables and 2048 level shift),
+  progressive (SOF2), and lossless (SOF3, Annex-H predictors 1-7,
+  SSSS/EXTEND diff coding, modulo-2^16) decoders — canonical Huffman,
+  spectral selection + successive approximation (DC/AC first and
+  refinement scans, EOB runs), dequant, batched 8×8 IDCT, chroma
+  upsampling for 4:4:4 / 4:2:2 / 4:2:0, restart markers — plus
+  baseline/12-bit/progressive/lossless encoders used by fixtures.
+  Arithmetic coding and hierarchical streams are rejected explicitly.
 
 Performance shape: the bit-serial parts (Huffman, PNG sub/avg/paeth
 filters) are honest per-element Python — fine because decode
@@ -589,10 +592,51 @@ def _skip_entropy(data: bytes, pos: int) -> int:
     return len(data)
 
 
+def _decode_lossless_scan(
+    br: _BitReader, dc_t: dict, h: int, w: int,
+    prec: int, predictor: int, pt: int,
+) -> np.ndarray:
+    """SOF3 lossless scan, one component (spec Annex H): Huffman-coded
+    sample diffs (DC-style SSSS categories, SSSS=16 → +32768), modulo
+    2^16 arithmetic, predictors 1-7 with the first-sample / first-line
+    defaults of H.1.2.1, inverse point transform << Pt at the end."""
+    if predictor not in range(1, 8):
+        raise ValueError(f"bad lossless predictor {predictor}")
+    out = np.zeros((h, w), np.int64)
+    default = 1 << (prec - 1 - pt)
+    for y in range(h):
+        for x in range(w):
+            s = br.huff(dc_t)
+            if s == 16:
+                diff = 32768
+            else:
+                diff = _extend(br.read(s), s) if s else 0
+            if y == 0 and x == 0:
+                pred = default
+            elif y == 0:
+                pred = int(out[0, x - 1])
+            elif x == 0:
+                pred = int(out[y - 1, 0])
+            else:
+                ra = int(out[y, x - 1])
+                rb = int(out[y - 1, x])
+                rc = int(out[y - 1, x - 1])
+                pred = [
+                    ra, rb, rc, ra + rb - rc,
+                    ra + ((rb - rc) >> 1), rb + ((ra - rc) >> 1),
+                    (ra + rb) >> 1,
+                ][predictor - 1]
+            out[y, x] = (pred + diff) & 0xFFFF
+    return out << pt
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """JPEG → (h, w, 3) uint8 RGB.  Baseline sequential (SOF0) and
-    progressive (SOF2: spectral selection + successive approximation,
-    DC/AC first and refinement scans, EOB runs, restart intervals)."""
+    """JPEG → (h, w, 3) uint8 RGB.  Baseline sequential (SOF0),
+    extended sequential (SOF1, 8/12-bit precision), progressive (SOF2:
+    spectral selection + successive approximation, DC/AC first and
+    refinement scans, EOB runs, restart intervals) and lossless (SOF3,
+    single-component).  12-bit frames are scaled back to the 8-bit
+    output contract after the level shift."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -604,6 +648,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     grid: dict[int, tuple[int, int, int, int]] = {}  # cid -> bw,bh grid+used
     n_scans = 0
     hmax = vmax = mcux = mcuy = 0
+    precision = 8
+    lossless = False
+    planes_ll: dict[int, np.ndarray] = {}  # lossless: cid -> (h, w)
     while pos < len(data) - 1:
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -619,40 +666,55 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             i = 0
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 15
-                if pq != 0:
-                    raise ValueError("16-bit quant tables not supported")
-                qtables[tq] = np.frombuffer(
-                    seg, np.uint8, 64, i + 1
-                ).astype(np.int64)
-                i += 65
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+                if pq == 0:
+                    qtables[tq] = np.frombuffer(
+                        seg, np.uint8, 64, i + 1
+                    ).astype(np.int64)
+                    i += 65
+                else:  # 16-bit entries (12-bit precision frames)
+                    qtables[tq] = np.frombuffer(
+                        seg, ">u2", 64, i + 1
+                    ).astype(np.int64)
+                    i += 129
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0 baseline / SOF1 extended sequential (8/12-bit) /
+            # SOF2 progressive / SOF3 lossless
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            if prec != 8:
-                raise ValueError("only 8-bit precision supported")
+            lossless = marker == 0xC3
+            if lossless:
+                if prec not in range(2, 17):
+                    raise ValueError(f"bad lossless precision {prec}")
+            elif prec not in (8, 12):
+                raise ValueError("only 8/12-bit DCT precision supported")
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("12-bit precision is illegal in SOF0")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-            hmax = max(c[1] for c in comps)
-            vmax = max(c[2] for c in comps)
-            mcux = -(-w // (8 * hmax))
-            mcuy = -(-h // (8 * vmax))
-            for cid, hi, v, _ in comps:
-                # padded MCU grid; non-interleaved scans cover only the
-                # component's true block dims (spec A.2.2)
-                gw, gh = mcux * hi, mcuy * v
-                cw = -(-(w * hi) // hmax)  # component sample dims (ceil)
-                ch = -(-(h * v) // vmax)
-                bw = -(-cw // 8)
-                bh = -(-ch // 8)
-                coefs[cid] = np.zeros((gh, gw, 64), np.int64)
-                grid[cid] = (gw, gh, bw, bh)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            precision = prec
+            if not lossless:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                for cid, hi, v, _ in comps:
+                    # padded MCU grid; non-interleaved scans cover only
+                    # the component's true block dims (spec A.2.2)
+                    gw, gh = mcux * hi, mcuy * v
+                    cw = -(-(w * hi) // hmax)  # component dims (ceil)
+                    ch = -(-(h * v) // vmax)
+                    bw = -(-cw // 8)
+                    bh = -(-ch // 8)
+                    coefs[cid] = np.zeros((gh, gw, 64), np.int64)
+                    grid[cid] = (gw, gh, bw, bh)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG frame type 0xFF{marker:02X} "
-                "(baseline SOF0 and progressive SOF2 only)"
+                "(SOF0/1/2 DCT and SOF3 lossless only — "
+                "hierarchical and arithmetic-coded streams reject)"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -679,6 +741,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             h, w, comps = frame
             scan_tabs = {cs: (dc, ac) for cs, dc, ac in scan}
             br = _BitReader(data, pos)
+            if lossless:
+                if len(scan) != 1 or len(comps) != 1:
+                    raise ValueError(
+                        "only single-component lossless scans supported"
+                    )
+                if restart:
+                    raise ValueError(
+                        "restart markers in lossless scans not supported"
+                    )
+                cid, dc_id, _ = scan[0]
+                planes_ll[cid] = _decode_lossless_scan(
+                    br, huff[(0, dc_id)], h, w, precision, ss, al
+                )
+                n_scans += 1
+                pos = _skip_entropy(data, br.pos)
+                continue
             st = _ScanState(comps)
             if len(scan) > 1 or (ss == 0 and len(scan) == len(comps)):
                 # interleaved MCU order (DC and/or baseline full-band)
@@ -732,9 +810,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         pos += ln
     if frame is None or n_scans == 0:
         raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = frame
+
+    if lossless:
+        # single grayscale component (enforced at scan decode); scale
+        # non-8-bit precisions down/up to the uint8 output contract
+        plane = planes_ll[comps[0][0]]
+        if precision > 8:
+            plane = plane >> (precision - 8)
+        elif precision < 8:
+            plane = plane << (8 - precision)
+        g = np.clip(plane, 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
 
     # dequantize + inverse zigzag + batched IDCT per component
-    h, w, comps = frame
+    shift = float(1 << (precision - 1))
+    maxv = float((1 << precision) - 1)
     out_planes = []
     for cid, hi, v, tq in comps:
         deq = coefs[cid] * qtables[tq]  # (bh, bw, 64) zigzag order
@@ -747,7 +838,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         plane = blk.transpose(0, 2, 1, 3).reshape(
             nat.shape[0] * 8, nat.shape[1] * 8
         )
-        p = np.clip(plane + 128.0, 0, 255)
+        p = np.clip(plane + shift, 0, maxv)
+        if precision == 12:
+            p = p / 16.0  # back to the 8-bit output scale
         p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // hi, axis=1)
         out_planes.append(p[:h, :w])
     if len(out_planes) == 1:
@@ -815,8 +908,9 @@ def _encode_block(
     pred: int,
     dc_enc: dict,
     ac_enc: dict,
+    shift: float = 128.0,
 ) -> int:
-    cf = _DCT_C @ (block.astype(np.float64) - 128.0) @ _DCT_C.T
+    cf = _DCT_C @ (block.astype(np.float64) - shift) @ _DCT_C.T
     coef = np.rint(cf.reshape(64) / q.astype(np.float64)).astype(np.int64)
     zz = coef[ZIGZAG]
     dc = int(zz[0])
@@ -871,17 +965,27 @@ def encode_jpeg(
     quality: int = 85,
     subsampling: str = "444",
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """(h, w) gray or (h, w, 3) RGB uint8 → baseline JFIF.
 
     ``subsampling``: '444', '422' or '420' (ignored for gray);
-    ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none)."""
+    ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none);
+    ``precision``: 8 (SOF0 baseline) or 12 (SOF1 extended sequential —
+    samples and quant tables are both scaled x16, so the quantized
+    coefficient stream is IDENTICAL to the 8-bit encoding and the
+    decoded image is byte-identical to the baseline decode; what the
+    12-bit stream exercises is the SOF1/16-bit-DQT/level-shift-2048
+    decode path, pinned in tests)."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    sc = 1 if precision == 8 else 16
     gray = img.ndim == 2
     h, w = img.shape[:2]
     # libjpeg quality scaling of the Annex K tables
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    ql = np.clip((QTABLE_LUMA * scale + 50) // 100, 1, 255)
-    qc = np.clip((QTABLE_CHROMA * scale + 50) // 100, 1, 255)
+    ql = np.clip((QTABLE_LUMA * scale + 50) // 100, 1, 255) * sc
+    qc = np.clip((QTABLE_CHROMA * scale + 50) // 100, 1, 255) * sc
     samp = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
     factors = [(1, 1)] if gray else [samp, (1, 1), (1, 1)]
     nc = len(factors)
@@ -895,14 +999,20 @@ def encode_jpeg(
         + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     )
     for tq, q in ((0, ql),) if gray else ((0, ql), (1, qc)):
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
-            int(q[z]) for z in ZIGZAG
-        )
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+        if precision == 8:
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes(
+                [tq]
+            ) + bytes(int(q[z]) for z in ZIGZAG)
+        else:  # pq=1: 16-bit entries
+            out += b"\xff\xdb" + struct.pack(">H", 131) + bytes(
+                [0x10 | tq]
+            ) + b"".join(struct.pack(">H", int(q[z])) for z in ZIGZAG)
+    sof = struct.pack(">BHHB", precision, h, w, nc)
     for i in range(nc):
         hi, vi = factors[i]
         sof += bytes([i + 1, hi << 4 | vi, 0 if i == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
     out += _dht_segment(0, 0, *HUFF_DC_LUMA)
     out += _dht_segment(1, 0, *HUFF_AC_LUMA)
     if not gray:
@@ -944,7 +1054,7 @@ def encode_jpeg(
         pp[:sh, :sw] = sub
         pp[sh:, :sw] = sub[sh - 1 : sh, :]
         pp[:, sw:] = pp[:, sw - 1 : sw]
-        padded.append(np.clip(pp, 0, 255))
+        padded.append(np.clip(pp, 0, 255) * sc)
 
     bwr = _BitWriter()
     preds = [0] * nc
@@ -964,11 +1074,62 @@ def encode_jpeg(
                     x0 = (mx * hi + bx) * 8
                     blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
                     preds[ci] = _encode_block(
-                        bwr, blk, qs[ci], preds[ci], *encs[ci]
+                        bwr, blk, qs[ci], preds[ci], *encs[ci],
+                        shift=128.0 * sc,
                     )
     bwr.flush()
     out += bwr.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_lossless(img: np.ndarray, predictor: int = 1) -> bytes:
+    """(h, w) gray or (h, w, 3) gray-valued RGB uint8 → SOF3 lossless
+    JPEG (single 8-bit component, predictor 1-7, no point transform) —
+    the fixture encoder for the Annex-H decode path.  Exact roundtrip:
+    decode_jpeg returns the input replicated to RGB bit-for-bit."""
+    if predictor not in range(1, 8):
+        raise ValueError(f"bad lossless predictor {predictor}")
+    g = img if img.ndim == 2 else img[:, :, 0]
+    if img.ndim == 3:
+        assert (img == g[:, :, None]).all(), "not a gray-valued image"
+    h, w = g.shape
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
+    # DC luma categories 0..11 cover the 8-bit diff range (SSSS <= 8)
+    out += _dht_segment(0, 0, *HUFF_DC_LUMA)
+    sos = bytes([1, 1, 0x00, predictor, 0, 0x00])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    dc_enc = _huff_encode_map(*HUFF_DC_LUMA)
+    bwr = _BitWriter()
+    gi = g.astype(np.int64)
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = 128  # 1 << (P - 1 - Pt)
+            elif y == 0:
+                pred = int(gi[0, x - 1])
+            elif x == 0:
+                pred = int(gi[y - 1, 0])
+            else:
+                ra = int(gi[y, x - 1])
+                rb = int(gi[y - 1, x])
+                rc = int(gi[y - 1, x - 1])
+                pred = [
+                    ra, rb, rc, ra + rb - rc,
+                    ra + ((rb - rc) >> 1), rb + ((ra - rc) >> 1),
+                    (ra + rb) >> 1,
+                ][predictor - 1]
+            diff = int(gi[y, x]) - pred
+            s = _category(diff)
+            code, ln = dc_enc[s]
+            bwr.write(code, ln)
+            if s:
+                bwr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bwr.flush()
+    out += bwr.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 

@@ -203,7 +203,9 @@ def image_autocrop(
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .codecs import decode_image, encode_jpeg, encode_png
 
-        from .codecs import encode_jpeg_progressive, encode_png_gray
+        from .codecs import (
+            encode_jpeg_lossless, encode_jpeg_progressive, encode_png_gray,
+        )
 
         encoders = {
             "ppm": lambda im: encode_ppm(im),
@@ -214,6 +216,11 @@ def image_autocrop(
             "png_gray1": lambda im: encode_png_gray(im, depth=1),
             "jpeg": lambda im: encode_jpeg(im, 92, "420"),
             "jpeg_prog": lambda im: encode_jpeg_progressive(im, 92, "420"),
+            # 12-bit SOF1: x16-scaled samples+tables → decodes
+            # byte-identical to the baseline stream (pinned in tests)
+            "jpeg12": lambda im: encode_jpeg(im, 92, "420", precision=12),
+            # SOF3 lossless: exact pixels (the fixture is gray-valued)
+            "jpeg_ll": lambda im: encode_jpeg_lossless(im, 4),
         }
         enc = encoders[codec]
         for pdf in it:

@@ -316,6 +316,19 @@ _register(
     lambda spark, sf_dir: image_autocrop(spark, sf_dir, codec="png_gray1"),
     IMAGE_AUTOCROP_ORACLE,
 )
+# r5 JPEG long tail: 12-bit extended sequential (SOF1 + 16-bit DQT +
+# 2048 level shift; x16 scaling makes the decode byte-identical to the
+# baseline stream) and SOF3 lossless (Annex-H predictors; exact pixels)
+_register(
+    "image_autocrop_jpeg12",
+    lambda spark, sf_dir: image_autocrop(spark, sf_dir, codec="jpeg12"),
+    IMAGE_AUTOCROP_ORACLE,
+)
+_register(
+    "image_autocrop_jpeg_ll",
+    lambda spark, sf_dir: image_autocrop(spark, sf_dir, codec="jpeg_ll"),
+    IMAGE_AUTOCROP_ORACLE,
+)
 
 
 def _cluster_reps_oracle() -> str:

@@ -162,12 +162,64 @@ def test_jpeg_odd_dimensions():
 def test_jpeg_rejections():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01")
-    # extended sequential (SOF1) stays rejected: flip FFC0 → FFC1
+    # arithmetic-coded (SOF9) stays rejected: flip FFC0 → FFC9
     data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     i = bytes(data).index(b"\xff\xc0")
-    data[i + 1] = 0xC1
+    data[i + 1] = 0xC9
     with pytest.raises(ValueError, match="frame type"):
         decode_jpeg(bytes(data))
+
+
+def test_jpeg_sof1_8bit_is_baseline_compatible():
+    """SOF1 at 8-bit is decode-identical to SOF0 (same scan syntax);
+    flipping the marker byte must not change the pixels."""
+    img = RNG.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, 85, "444"))
+    base = decode_jpeg(bytes(data))
+    i = bytes(data).index(b"\xff\xc0")
+    data[i + 1] = 0xC1
+    assert np.array_equal(decode_jpeg(bytes(data)), base)
+
+
+def test_jpeg_12bit_matches_baseline():
+    """12-bit SOF1 (x16 samples and x16 16-bit quant tables): the
+    quantized coefficient stream is identical to the 8-bit encoding and
+    IDCT is linear, so the decode — through the 2048 level shift, 4095
+    clip and /16 rescale — is byte-identical to the baseline decode."""
+    for shape, sub in [
+        ((16, 16), "444"), ((7, 9), "444"),
+        ((20, 12, 3), "420"), ((17, 23, 3), "422"), ((24, 40, 3), "444"),
+    ]:
+        img = RNG.integers(0, 256, shape, dtype=np.uint8)
+        s = sub if img.ndim == 3 else "444"
+        base = decode_jpeg(encode_jpeg(img, 80, s))
+        ext = decode_jpeg(encode_jpeg(img, 80, s, precision=12))
+        assert np.array_equal(base, ext), (shape, sub)
+    # 12-bit must arrive as SOF1, never SOF0
+    blob = encode_jpeg(RNG.integers(0, 256, (8, 8), np.uint8), 80, "444",
+                       precision=12)
+    assert b"\xff\xc1" in blob and b"\xff\xc0" not in blob
+
+
+def test_jpeg_lossless_exact_all_predictors():
+    """SOF3: exact roundtrip for every predictor 1-7, including the
+    first-row/first-column prediction defaults (1-wide/1-tall shapes)."""
+    from dpo_ocr_spark.ops.codecs import encode_jpeg_lossless
+
+    for p in range(1, 8):
+        g = RNG.integers(0, 256, (19, 27), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg_lossless(g, p))
+        assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2)), p
+    for shape in [(1, 17), (19, 1), (1, 1)]:
+        g = RNG.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_lossless(g, 4))[:, :, 0], g
+        ), shape
+    # gray-valued RGB input accepted; non-gray rejected
+    rgb = np.repeat(
+        RNG.integers(0, 256, (5, 7), np.uint8)[:, :, None], 3, axis=2
+    )
+    assert np.array_equal(decode_jpeg(encode_jpeg_lossless(rgb, 1)), rgb)
 
 
 def test_jpeg_progressive_matches_baseline():
