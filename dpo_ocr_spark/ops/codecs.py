@@ -13,13 +13,17 @@ closes the boundary with no codec libraries, which the container lacks:
   zlib (stdlib) inflate; plus filter-0 encoders (fixtures + sinks).
 - **JPEG**: baseline sequential (SOF0), extended sequential (SOF1,
   8-bit and 12-bit with 16-bit quant tables and 2048 level shift),
-  progressive (SOF2), and lossless (SOF3, Annex-H predictors 1-7,
-  SSSS/EXTEND diff coding, modulo-2^16) decoders — canonical Huffman,
+  progressive (SOF2), lossless (SOF3, Annex-H predictors 1-7,
+  SSSS/EXTEND diff coding, modulo-2^16), and arithmetic sequential
+  (SOF9: T.81 Annex D/F QM coder with Table D.3 adaptation, DAC
+  conditioning, byte stuffing/carry handling — cross-validated in both
+  directions against libjpeg-turbo) decoders — canonical Huffman,
   spectral selection + successive approximation (DC/AC first and
   refinement scans, EOB runs), dequant, batched 8×8 IDCT, chroma
   upsampling for 4:4:4 / 4:2:2 / 4:2:0, restart markers — plus
-  baseline/12-bit/progressive/lossless encoders used by fixtures.
-  Arithmetic coding and hierarchical streams are rejected explicitly.
+  baseline/12-bit/progressive/lossless/arithmetic encoders used by
+  fixtures.  Hierarchical and progressive-arithmetic streams are
+  rejected explicitly.
 
 Performance shape: the bit-serial parts (Huffman, PNG sub/avg/paeth
 filters) are honest per-element Python — fine because decode
@@ -592,6 +596,400 @@ def _skip_entropy(data: bytes, pos: int) -> int:
     return len(data)
 
 
+# ---------------------------------------------------------------------------
+# Arithmetic entropy coding (SOF9 sequential DCT; ITU-T T.81 Annexes D+F)
+# ---------------------------------------------------------------------------
+# Probability estimation state machine of T.81 Table D.3 as
+# (Qe, NMPS, NLPS, switch) rows; index 113 is the non-adapting ~0.5 bin
+# used for AC coefficient signs (F.1.4.4.1.2).  Values verified against
+# the system libjpeg-turbo's jpeg_aritab (tests re-extract and compare
+# when the library is present).
+_ARITH_TAB = (
+    (0x5a1d, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0), (0x080b, 4, 18, 0),
+    (0x03d8, 5, 20, 0), (0x01da, 6, 23, 0), (0x00e5, 7, 25, 0), (0x006f, 8, 28, 0),
+    (0x0036, 9, 30, 0), (0x001a, 10, 33, 0), (0x000d, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5a7f, 15, 15, 1), (0x3f25, 16, 36, 0),
+    (0x2cf2, 17, 38, 0), (0x207c, 18, 39, 0), (0x17b9, 19, 40, 0), (0x1182, 20, 42, 0),
+    (0x0cef, 21, 43, 0), (0x09a1, 22, 45, 0), (0x072f, 23, 46, 0), (0x055c, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0), (0x01b1, 28, 54, 0),
+    (0x0144, 29, 56, 0), (0x00f5, 30, 57, 0), (0x00b7, 31, 59, 0), (0x008a, 32, 60, 0),
+    (0x0068, 33, 62, 0), (0x004e, 34, 63, 0), (0x003b, 35, 32, 0), (0x002c, 9, 33, 0),
+    (0x5ae1, 37, 37, 1), (0x484c, 38, 64, 0), (0x3a0d, 39, 65, 0), (0x2ef1, 40, 67, 0),
+    (0x261f, 41, 68, 0), (0x1f33, 42, 69, 0), (0x19a8, 43, 70, 0), (0x1518, 44, 72, 0),
+    (0x1177, 45, 73, 0), (0x0e74, 46, 74, 0), (0x0bfb, 47, 75, 0), (0x09f8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05cd, 51, 48, 0), (0x04de, 52, 50, 0),
+    (0x040f, 53, 50, 0), (0x0363, 54, 51, 0), (0x02d4, 55, 52, 0), (0x025c, 56, 53, 0),
+    (0x01f8, 57, 54, 0), (0x01a4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00f6, 61, 58, 0), (0x00cb, 62, 59, 0), (0x00ab, 63, 61, 0), (0x008f, 32, 61, 0),
+    (0x5b12, 65, 65, 1), (0x4d04, 66, 80, 0), (0x412c, 67, 81, 0), (0x37d8, 68, 82, 0),
+    (0x2fe8, 69, 83, 0), (0x293c, 70, 84, 0), (0x2379, 71, 86, 0), (0x1edf, 72, 87, 0),
+    (0x1aa9, 73, 87, 0), (0x174e, 74, 72, 0), (0x1424, 75, 72, 0), (0x119c, 76, 74, 0),
+    (0x0f6b, 77, 74, 0), (0x0d51, 78, 75, 0), (0x0bb6, 79, 77, 0), (0x0a40, 48, 77, 0),
+    (0x5832, 81, 80, 1), (0x4d1c, 82, 88, 0), (0x438e, 83, 89, 0), (0x3bdd, 84, 90, 0),
+    (0x34ee, 85, 91, 0), (0x2eae, 86, 92, 0), (0x299a, 87, 93, 0), (0x2516, 71, 86, 0),
+    (0x5570, 89, 88, 1), (0x4ca9, 90, 95, 0), (0x44d9, 91, 96, 0), (0x3e22, 92, 97, 0),
+    (0x3824, 93, 99, 0), (0x32b4, 94, 99, 0), (0x2e17, 86, 93, 0), (0x56a8, 96, 95, 1),
+    (0x4f46, 97, 101, 0), (0x47e5, 98, 102, 0), (0x41cf, 99, 103, 0), (0x3c3d, 100, 104, 0),
+    (0x375e, 93, 99, 0), (0x5231, 102, 105, 0), (0x4c0f, 103, 106, 0), (0x4639, 104, 107, 0),
+    (0x415e, 99, 103, 0), (0x5627, 106, 105, 1), (0x50e7, 107, 108, 0), (0x4b85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504f, 107, 111, 0), (0x5a10, 111, 110, 1), (0x5522, 109, 112, 0),
+    (0x59eb, 111, 112, 1), (0x5a1d, 113, 113, 0),
+)
+
+# statistics-area geometry (T.81 Table F.4 / F.1.4.4): DC S0 bases at
+# dc_context ∈ {0,4,8,12,16}, SS/SP/SN at +1/+2/+3, X1 at 20, magnitude
+# bits at node+14; AC bases 3(k-1) (SE, S0/sign-free), X2 chains at 189
+# (k <= Kx) / 217 (k > Kx)
+_DC_STAT_BINS = 64
+_AC_STAT_BINS = 256
+_FIXED_BIN = 113
+
+
+class _Stats:
+    """One conditioning-table statistics area: per-bin (index, mps)."""
+
+    def __init__(self, n: int) -> None:
+        self.idx = [0] * n
+        self.mps = [0] * n
+
+
+class _ArithDecoder:
+    """T.81 Annex D decoder (DECODE / MPS_EXCHANGE / LPS_EXCHANGE /
+    RENORM_D / BYTEIN flowcharts), with the entropy-segment byte
+    conventions of B.1.1.5: 0xFF 0x00 is a stuffed data 0xFF, any other
+    0xFF-marker ends the segment and zero bytes are supplied after."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.hit_marker = False
+        # load the first 16 code bits into Chigh; A = 0x10000 mirrors
+        # INITENC so the first subtraction happens at the same scale
+        self.c = self._next_byte() << 16
+        self._bytein()
+        self.c <<= 8
+        self.ct = 0
+        self.a = 0x10000
+
+    def _next_byte(self) -> int:
+        if self.hit_marker:
+            return 0
+        data = self.data
+        if self.pos >= len(data):
+            self.hit_marker = True
+            return 0
+        b = data[self.pos]
+        self.pos += 1
+        if b != 0xFF:
+            return b
+        while self.pos < len(data) and data[self.pos] == 0xFF:
+            self.pos += 1
+        if self.pos < len(data) and data[self.pos] == 0x00:
+            self.pos += 1
+            return 0xFF
+        self.hit_marker = True
+        self.pos -= 1  # leave BOTH marker bytes for _skip_entropy
+        return 0
+
+    def _bytein(self) -> None:
+        self.c += self._next_byte() << 8
+        self.ct = 8
+
+    def _renorm(self) -> None:
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.a & 0x8000:
+                return
+
+    def decode(self, stats: _Stats, s: int) -> int:
+        # MPS owns the BOTTOM subinterval [0, A-Qe), LPS the top
+        qe, nmps, nlps, sw = _ARITH_TAB[stats.idx[s]]
+        mps = stats.mps[s]
+        self.a -= qe
+        if (self.c >> 16) < self.a:
+            if self.a & 0x8000:
+                return mps
+            # Figure F.22 MPS_EXCHANGE
+            if self.a < qe:
+                d = 1 - mps
+                if sw:
+                    stats.mps[s] = 1 - mps
+                stats.idx[s] = nlps
+            else:
+                d = mps
+                stats.idx[s] = nmps
+            self._renorm()
+        else:
+            self.c -= self.a << 16
+            # Figure F.23 LPS_EXCHANGE
+            if self.a < qe:
+                d = mps
+                stats.idx[s] = nmps
+            else:
+                d = 1 - mps
+                if sw:
+                    stats.mps[s] = 1 - mps
+                stats.idx[s] = nlps
+            self.a = qe
+            self._renorm()
+        return d
+
+
+class _ArithEncoder:
+    """T.81 Annex D encoder (CODE / CODEMPS / CODELPS / RENORME /
+    BYTEOUT / FLUSH), emitting B.1.1.5-framed bytes (0xFF always
+    followed by a stuffed 0x00)."""
+
+    def __init__(self) -> None:
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer: int | None = None
+        self.sc = 0  # stacked 0xFF bytes (may still receive a carry)
+        self.out = bytearray()
+
+    def _emit(self, b: int) -> None:
+        self.out.append(b)
+        if b == 0xFF:
+            self.out.append(0x00)
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        if t > 0xFF:
+            # carry: +1 into the buffered byte, stacked 0xFFs roll to 0x00
+            self._emit(self.buffer + 1)
+            for _ in range(self.sc):
+                self._emit(0x00)
+            self.sc = 0
+            self.buffer = t & 0xFF  # 3 spacer bits: cannot be 0xFF here
+        elif t == 0xFF:
+            self.sc += 1
+        else:
+            if self.buffer is not None:
+                self._emit(self.buffer)
+            for _ in range(self.sc):
+                self._emit(0xFF)
+            self.sc = 0
+            self.buffer = t
+        self.c &= 0x7FFFF
+
+    def _renorm(self) -> None:
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+            if self.a & 0x8000:
+                return
+
+    def code(self, stats: _Stats, s: int, d: int) -> None:
+        # MPS owns the BOTTOM subinterval (C unchanged), LPS the top
+        qe, nmps, nlps, sw = _ARITH_TAB[stats.idx[s]]
+        mps = stats.mps[s]
+        a = self.a - qe
+        if d == mps:
+            if a & 0x8000:
+                self.a = a
+                return
+            if a < qe:
+                self.c += a  # conditional exchange: MPS takes the top
+                self.a = qe
+            else:
+                self.a = a
+            stats.idx[s] = nmps
+        else:
+            if a < qe:
+                self.a = a  # conditional exchange: LPS takes the bottom
+            else:
+                self.c += a
+                self.a = qe
+            if sw:
+                stats.mps[s] = 1 - mps
+            stats.idx[s] = nlps
+        self._renorm()
+
+    def flush(self) -> bytes:
+        # Figure D.18/D.19: pick the in-interval value with the most
+        # trailing zeros, then push the remaining 16 bits out
+        t = (self.c + self.a - 1) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= 8
+        self._byteout()
+        if self.buffer is not None:
+            self._emit(self.buffer)
+        for _ in range(self.sc):
+            self._emit(0xFF)
+        # trailing zero bytes could be discarded (D.1.8); keep them
+        return bytes(self.out)
+
+
+def _arith_decode_dc(
+    dec: _ArithDecoder, st: _Stats, ctx: int, lo: int, up: int,
+) -> tuple[int, int]:
+    """Decode one DC diff (F.2.4.1).  Returns (diff, new dc context)."""
+    base = ctx
+    if dec.decode(st, base) == 0:
+        return 0, 0
+    sign = dec.decode(st, base + 1)
+    m = dec.decode(st, base + 2 + sign)
+    node = base + 2 + sign
+    if m:
+        node = 20
+        while dec.decode(st, node):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic DC magnitude overflow")
+            node += 1
+    if m < (1 << lo) >> 1:
+        new_ctx = 0
+    elif m > (1 << up) >> 1:
+        new_ctx = 12 + sign * 4
+    else:
+        new_ctx = 4 + sign * 4
+    v = m
+    node += 14
+    while m > 1:
+        m >>= 1
+        if dec.decode(st, node):
+            v |= m
+    v += 1
+    return (-v if sign else v), new_ctx
+
+
+def _arith_decode_ac(
+    dec: _ArithDecoder, st: _Stats, fixed: _Stats, coef: np.ndarray, kx: int,
+) -> None:
+    """Decode the AC coefficients of one block in zigzag order
+    (F.2.4.2): EOB decision per index, fixed-bin sign, magnitude
+    category tree with the Kx-conditioned X2+ chains."""
+    k = 1
+    while k <= 63:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):  # EOB
+            return
+        while dec.decode(st, base + 1) == 0:
+            k += 1
+            if k > 63:
+                raise ValueError("arithmetic AC index overflow")
+            base = 3 * (k - 1)
+        sign = dec.decode(fixed, 0)
+        node = base + 2
+        m = dec.decode(st, node)
+        if m:
+            if dec.decode(st, node):
+                m = 2
+                node = 189 if k <= kx else 217
+                while dec.decode(st, node):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arithmetic AC magnitude overflow")
+                    node += 1
+        v = m
+        node += 14
+        while m > 1:
+            m >>= 1
+            if dec.decode(st, node):
+                v |= m
+        v += 1
+        coef[k] = -v if sign else v
+        k += 1
+
+
+def _arith_encode_dc(
+    enc: _ArithEncoder, st: _Stats, ctx: int, diff: int, lo: int, up: int,
+) -> int:
+    """Encode one DC diff (F.1.4.4.1).  Returns the new dc context."""
+    base = ctx
+    if diff == 0:
+        enc.code(st, base, 0)
+        return 0
+    enc.code(st, base, 1)
+    sign = 1 if diff < 0 else 0
+    v = -diff if sign else diff
+    enc.code(st, base + 1, sign)
+    node = base + 2 + sign
+    m = 0
+    v -= 1
+    if v:
+        enc.code(st, node, 1)
+        m = 1
+        node = 20
+        v2 = v
+        while v2 > 1:
+            v2 >>= 1
+            enc.code(st, node, 1)
+            m <<= 1
+            node += 1
+    enc.code(st, node, 0)
+    if m < (1 << lo) >> 1:
+        new_ctx = 0
+    elif m > (1 << up) >> 1:
+        new_ctx = 12 + sign * 4
+    else:
+        new_ctx = 4 + sign * 4
+    node += 14
+    while m > 1:
+        m >>= 1
+        enc.code(st, node, 1 if v & m else 0)
+    return new_ctx
+
+
+def _arith_encode_ac(
+    enc: _ArithEncoder, st: _Stats, fixed: _Stats, zz: np.ndarray, kx: int,
+) -> None:
+    """Encode the AC coefficients of one block (F.1.4.4.2)."""
+    ke = 63
+    while ke > 0 and zz[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        base = 3 * (k - 1)
+        enc.code(st, base, 0)  # not EOB yet
+        v = int(zz[k])
+        while v == 0:
+            enc.code(st, base + 1, 0)
+            k += 1
+            base = 3 * (k - 1)
+            v = int(zz[k])
+        enc.code(st, base + 1, 1)
+        sign = 1 if v < 0 else 0
+        if sign:
+            v = -v
+        enc.code(fixed, 0, sign)
+        node = base + 2
+        m = 0
+        v -= 1
+        if v:
+            enc.code(st, node, 1)
+            m = 1
+            v2 = v
+            if v2 > 1:
+                enc.code(st, node, 1)
+                m = 2
+                node = 189 if k <= kx else 217
+                while v2 > 3:
+                    v2 >>= 1
+                    enc.code(st, node, 1)
+                    m <<= 1
+                    node += 1
+        enc.code(st, node, 0)
+        node += 14
+        while m > 1:
+            m >>= 1
+            enc.code(st, node, 1 if v & m else 0)
+        k += 1
+    if ke < 63:
+        enc.code(st, 3 * (k - 1), 1)  # EOB
+
+
 def _decode_lossless_scan(
     br: _BitReader, dc_t: dict, h: int, w: int,
     prec: int, predictor: int, pt: int,
@@ -650,6 +1048,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     hmax = vmax = mcux = mcuy = 0
     precision = 8
     lossless = False
+    arith = False
+    # arithmetic conditioning defaults (F.1.4.4.1.2 / F.1.4.4.2):
+    # DC (L, U) = (0, 1); AC Kx = 5 — overridden by a DAC segment
+    dc_cond: dict[int, tuple[int, int]] = {t: (0, 1) for t in range(4)}
+    ac_cond: dict[int, int] = {t: 5 for t in range(4)}
     planes_ll: dict[int, np.ndarray] = {}  # lossless: cid -> (h, w)
     while pos < len(data) - 1:
         if data[pos] != 0xFF:
@@ -676,11 +1079,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         seg, ">u2", 64, i + 1
                     ).astype(np.int64)
                     i += 129
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
             # SOF0 baseline / SOF1 extended sequential (8/12-bit) /
-            # SOF2 progressive / SOF3 lossless
+            # SOF2 progressive / SOF3 lossless / SOF9 arithmetic seq.
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             lossless = marker == 0xC3
+            arith = marker == 0xC9
             if lossless:
                 if prec not in range(2, 17):
                     raise ValueError(f"bad lossless precision {prec}")
@@ -709,12 +1113,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     bh = -(-ch // 8)
                     coefs[cid] = np.zeros((gh, gw, 64), np.int64)
                     grid[cid] = (gw, gh, bw, bh)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG frame type 0xFF{marker:02X} "
-                "(SOF0/1/2 DCT and SOF3 lossless only — "
-                "hierarchical and arithmetic-coded streams reject)"
+                "(SOF0/1/2/9 DCT and SOF3 lossless only — "
+                "hierarchical and progressive-arithmetic streams reject)"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -725,6 +1129,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + nv])
                 huff[(tc, th)] = _build_huff(bits, vals)
                 i += 17 + nv
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            for i in range(0, len(seg), 2):
+                tc, tb = seg[i] >> 4, seg[i] & 15
+                if tc == 0:
+                    dc_cond[tb] = (seg[i + 1] & 15, seg[i + 1] >> 4)
+                else:
+                    ac_cond[tb] = seg[i + 1]
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -740,6 +1151,40 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += ln
             h, w, comps = frame
             scan_tabs = {cs: (dc, ac) for cs, dc, ac in scan}
+            if arith:
+                if restart:
+                    raise ValueError(
+                        "restart markers in arithmetic scans not supported"
+                    )
+                dec = _ArithDecoder(data, pos)
+                dc_stats = {t: _Stats(_DC_STAT_BINS) for t in range(4)}
+                ac_stats = {t: _Stats(_AC_STAT_BINS) for t in range(4)}
+                fixed = _Stats(1)
+                fixed.idx[0] = _FIXED_BIN
+                dc_ctx = {c[0]: 0 for c in comps}
+                preds = {c[0]: 0 for c in comps}
+                scomps = [c for c in comps if c[0] in scan_tabs]
+                for m in range(mcux * mcuy):
+                    my, mx = divmod(m, mcux)
+                    for cid, hi, v, _tq in scomps:
+                        dcid, acid = scan_tabs[cid]
+                        for by in range(v):
+                            for bx in range(hi):
+                                coef = coefs[cid][my * v + by, mx * hi + bx]
+                                diff, ctx = _arith_decode_dc(
+                                    dec, dc_stats[dcid], dc_ctx[cid],
+                                    *dc_cond[dcid],
+                                )
+                                preds[cid] += diff
+                                dc_ctx[cid] = ctx
+                                coef[0] = preds[cid]
+                                _arith_decode_ac(
+                                    dec, ac_stats[acid], fixed, coef,
+                                    ac_cond[acid],
+                                )
+                n_scans += 1
+                pos = _skip_entropy(data, dec.pos)
+                continue
             br = _BitReader(data, pos)
             if lossless:
                 if len(scan) != 1 or len(comps) != 1:
@@ -901,6 +1346,15 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
+def _quant_zz(
+    block: np.ndarray, q: np.ndarray, shift: float = 128.0
+) -> np.ndarray:
+    """Forward DCT + quantize one 8x8 block → zigzag-order int64[64]."""
+    cf = _DCT_C @ (block.astype(np.float64) - shift) @ _DCT_C.T
+    coef = np.rint(cf.reshape(64) / q.astype(np.float64)).astype(np.int64)
+    return coef[ZIGZAG]
+
+
 def _encode_block(
     bw: _BitWriter,
     block: np.ndarray,
@@ -910,9 +1364,7 @@ def _encode_block(
     ac_enc: dict,
     shift: float = 128.0,
 ) -> int:
-    cf = _DCT_C @ (block.astype(np.float64) - shift) @ _DCT_C.T
-    coef = np.rint(cf.reshape(64) / q.astype(np.float64)).astype(np.int64)
-    zz = coef[ZIGZAG]
+    zz = _quant_zz(block, q, shift)
     dc = int(zz[0])
     diff = dc - pred
     s = _category(diff)
@@ -966,6 +1418,7 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     precision: int = 8,
+    arithmetic: bool = False,
 ) -> bytes:
     """(h, w) gray or (h, w, 3) RGB uint8 → baseline JFIF.
 
@@ -976,9 +1429,17 @@ def encode_jpeg(
     coefficient stream is IDENTICAL to the 8-bit encoding and the
     decoded image is byte-identical to the baseline decode; what the
     12-bit stream exercises is the SOF1/16-bit-DQT/level-shift-2048
-    decode path, pinned in tests)."""
+    decode path, pinned in tests);
+    ``arithmetic``: entropy-code the SAME quantized coefficients with
+    the T.81 Annex D/F arithmetic coder (SOF9, default conditioning,
+    no DHT) — again decode-identical to the Huffman stream by
+    construction."""
     if precision not in (8, 12):
         raise ValueError("precision must be 8 or 12")
+    if arithmetic and (restart_interval or precision != 8):
+        raise ValueError(
+            "arithmetic encoder supports 8-bit, no restarts"
+        )
     sc = 1 if precision == 8 else 16
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -1011,13 +1472,17 @@ def encode_jpeg(
     for i in range(nc):
         hi, vi = factors[i]
         sof += bytes([i + 1, hi << 4 | vi, 0 if i == 0 else 1])
-    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    if arithmetic:
+        sof_marker = b"\xff\xc9"
+    else:
+        sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
     out += sof_marker + struct.pack(">H", len(sof) + 2) + sof
-    out += _dht_segment(0, 0, *HUFF_DC_LUMA)
-    out += _dht_segment(1, 0, *HUFF_AC_LUMA)
-    if not gray:
-        out += _dht_segment(0, 1, *HUFF_DC_CHROMA)
-        out += _dht_segment(1, 1, *HUFF_AC_CHROMA)
+    if not arithmetic:
+        out += _dht_segment(0, 0, *HUFF_DC_LUMA)
+        out += _dht_segment(1, 0, *HUFF_AC_LUMA)
+        if not gray:
+            out += _dht_segment(0, 1, *HUFF_DC_CHROMA)
+            out += _dht_segment(1, 1, *HUFF_AC_CHROMA)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([nc])
@@ -1055,6 +1520,37 @@ def encode_jpeg(
         pp[sh:, :sw] = sub[sh - 1 : sh, :]
         pp[:, sw:] = pp[:, sw - 1 : sw]
         padded.append(np.clip(pp, 0, 255) * sc)
+
+    if arithmetic:
+        # same coefficient walk, arithmetic entropy layer (Annex F.1.4)
+        enc = _ArithEncoder()
+        dc_stats = {t: _Stats(_DC_STAT_BINS) for t in range(2)}
+        ac_stats = {t: _Stats(_AC_STAT_BINS) for t in range(2)}
+        fixed = _Stats(1)
+        fixed.idx[0] = _FIXED_BIN
+        dc_ctx = [0] * nc
+        apreds = [0] * nc
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci in range(nc):
+                hi, vi = factors[ci]
+                tbl = 0 if ci == 0 else 1
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        zz = _quant_zz(blk, qs[ci], 128.0 * sc)
+                        dc = int(zz[0])
+                        dc_ctx[ci] = _arith_encode_dc(
+                            enc, dc_stats[tbl], dc_ctx[ci],
+                            dc - apreds[ci], 0, 1,
+                        )
+                        apreds[ci] = dc
+                        _arith_encode_ac(enc, ac_stats[tbl], fixed, zz, 5)
+        out += enc.flush()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
 
     bwr = _BitWriter()
     preds = [0] * nc

@@ -221,6 +221,10 @@ def image_autocrop(
             "jpeg12": lambda im: encode_jpeg(im, 92, "420", precision=12),
             # SOF3 lossless: exact pixels (the fixture is gray-valued)
             "jpeg_ll": lambda im: encode_jpeg_lossless(im, 4),
+            # SOF9 arithmetic: same coefficients as baseline -> same pixels
+            "jpeg_arith": lambda im: encode_jpeg(
+                im, 92, "420", arithmetic=True
+            ),
         }
         enc = encoders[codec]
         for pdf in it:

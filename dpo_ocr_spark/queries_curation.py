@@ -329,6 +329,14 @@ _register(
     lambda spark, sf_dir: image_autocrop(spark, sf_dir, codec="jpeg_ll"),
     IMAGE_AUTOCROP_ORACLE,
 )
+# SOF9 arithmetic entropy coding (T.81 Annex D/F QM coder, cross-
+# validated both directions against libjpeg-turbo): same quantized
+# coefficients as the baseline stream -> same decoded pixels
+_register(
+    "image_autocrop_jpeg_arith",
+    lambda spark, sf_dir: image_autocrop(spark, sf_dir, codec="jpeg_arith"),
+    IMAGE_AUTOCROP_ORACLE,
+)
 
 
 def _cluster_reps_oracle() -> str:

@@ -162,10 +162,14 @@ def test_jpeg_odd_dimensions():
 def test_jpeg_rejections():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01")
-    # arithmetic-coded (SOF9) stays rejected: flip FFC0 → FFC9
+    # progressive-arithmetic (SOF10) stays rejected: flip FFC0 → FFCA
     data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     i = bytes(data).index(b"\xff\xc0")
-    data[i + 1] = 0xC9
+    data[i + 1] = 0xCA
+    with pytest.raises(ValueError, match="frame type"):
+        decode_jpeg(bytes(data))
+    # hierarchical (SOF5) too
+    data[i + 1] = 0xC5
     with pytest.raises(ValueError, match="frame type"):
         decode_jpeg(bytes(data))
 
@@ -199,6 +203,151 @@ def test_jpeg_12bit_matches_baseline():
     blob = encode_jpeg(RNG.integers(0, 256, (8, 8), np.uint8), 80, "444",
                        precision=12)
     assert b"\xff\xc1" in blob and b"\xff\xc0" not in blob
+
+
+def test_jpeg_arithmetic_matches_baseline():
+    """SOF9 (T.81 Annex D/F QM coder): the arithmetic encoder codes the
+    SAME quantized coefficients as the Huffman stream, so the decode is
+    byte-identical to the baseline decode; arithmetic files must also
+    be strictly smaller on these inputs (the adaptation working)."""
+    for shape, sub in [
+        ((16, 16), "444"), ((7, 9), "444"),
+        ((20, 12, 3), "420"), ((17, 23, 3), "422"), ((33, 31, 3), "420"),
+    ]:
+        img = RNG.integers(0, 256, shape, dtype=np.uint8)
+        s = sub if img.ndim == 3 else "444"
+        hb = encode_jpeg(img, 80, s)
+        ab = encode_jpeg(img, 80, s, arithmetic=True)
+        assert np.array_equal(decode_jpeg(hb), decode_jpeg(ab)), (shape, sub)
+        assert len(ab) < len(hb), (shape, sub)
+    blob = encode_jpeg(
+        RNG.integers(0, 256, (8, 8), np.uint8), 80, "444", arithmetic=True
+    )
+    assert b"\xff\xc9" in blob and b"\xff\xc4" not in blob  # SOF9, no DHT
+
+
+def test_arith_coder_core_roundtrip():
+    """Raw QM-coder: random decision streams over adaptive contexts and
+    the fixed ~0.5 bin roundtrip exactly (exercises conditional
+    exchange, carry propagation, byte stuffing and flush)."""
+    from dpo_ocr_spark.ops.codecs import (
+        _FIXED_BIN, _ArithDecoder, _ArithEncoder, _Stats,
+    )
+
+    for trial in range(10):
+        p = float(RNG.uniform(0.01, 0.99))
+        bits = (RNG.random(4000) < p).astype(int).tolist()
+        enc = _ArithEncoder()
+        st = _Stats(8)
+        for i, b in enumerate(bits):
+            enc.code(st, i % 8, b)
+        blob = enc.flush()
+        dec = _ArithDecoder(blob, 0)
+        st2 = _Stats(8)
+        assert [dec.decode(st2, i % 8) for i in range(len(bits))] == bits
+    enc = _ArithEncoder()
+    fx = _Stats(1)
+    fx.idx[0] = _FIXED_BIN
+    bits = [(i * 7) % 2 for i in range(999)]
+    for b in bits:
+        enc.code(fx, 0, b)
+    blob = enc.flush()
+    dec = _ArithDecoder(blob, 0)
+    fx2 = _Stats(1)
+    fx2.idx[0] = _FIXED_BIN
+    assert [dec.decode(fx2, 0) for _ in bits] == bits
+
+
+_LIBJPEG_SO = "/usr/lib/x86_64-linux-gnu/libjpeg.so.62.3.0"
+
+
+def test_arith_state_table_matches_libjpeg():
+    """_ARITH_TAB must equal T.81 Table D.3 as compiled into the system
+    libjpeg (jpeg_aritab, packed (qe<<16)|(nmps<<8)|(switch<<7)|nlps)."""
+    import os
+    import struct as _s
+
+    if not os.path.exists(_LIBJPEG_SO):
+        pytest.skip("system libjpeg not present")
+    from dpo_ocr_spark.ops.codecs import _ARITH_TAB
+
+    blob = open(_LIBJPEG_SO, "rb").read()
+    i = blob.find(_s.pack("<Q", 0x5A1D0181))
+    assert i > 0, "jpeg_aritab not found in libjpeg binary"
+    vals = _s.unpack_from("<114Q", blob, i)
+    ext = tuple(
+        (v >> 16, (v >> 8) & 0xFF, v & 0x7F, (v >> 7) & 1) for v in vals
+    )
+    assert ext == _ARITH_TAB
+
+
+_TRANSCODE_C = r"""
+#include <stdio.h>
+#include <jpeglib.h>
+int main(int argc, char **argv) {
+  struct jpeg_decompress_struct s; struct jpeg_compress_struct d;
+  struct jpeg_error_mgr se, de; jvirt_barray_ptr *coefs;
+  FILE *fi = fopen(argv[1], "rb"), *fo = fopen(argv[2], "wb");
+  if (argc != 4 || !fi || !fo) return 2;
+  s.err = jpeg_std_error(&se); jpeg_create_decompress(&s);
+  jpeg_stdio_src(&s, fi); jpeg_read_header(&s, TRUE);
+  coefs = jpeg_read_coefficients(&s);
+  d.err = jpeg_std_error(&de); jpeg_create_compress(&d);
+  jpeg_copy_critical_parameters(&s, &d);
+  d.arith_code = argv[3][0] == 'a' ? TRUE : FALSE;
+  if (!d.arith_code) d.optimize_coding = TRUE;
+  jpeg_stdio_dest(&d, fo); jpeg_write_coefficients(&d, coefs);
+  jpeg_finish_compress(&d); jpeg_destroy_compress(&d);
+  jpeg_finish_decompress(&s); jpeg_destroy_decompress(&s);
+  fclose(fi); fclose(fo); return 0;
+}
+"""
+
+
+def test_arith_interop_with_libjpeg(tmp_path):
+    """Cross-validation against libjpeg-turbo in BOTH directions via a
+    coefficient-exact transcode helper: (a) libjpeg reads our SOF9
+    stream and its Huffman re-encode decodes identically, (b) libjpeg
+    writes an SOF9 stream from our Huffman file and our arithmetic
+    decoder reads it to identical pixels."""
+    import os
+    import shutil
+    import subprocess
+
+    if shutil.which("gcc") is None or not os.path.exists(
+        "/usr/include/jpeglib.h"
+    ):
+        pytest.skip("gcc / libjpeg headers not present")
+    src = tmp_path / "tx.c"
+    exe = tmp_path / "tx"
+    src.write_text(_TRANSCODE_C)
+    subprocess.run(
+        ["gcc", "-O2", "-o", str(exe), str(src), "-ljpeg"], check=True
+    )
+    for shape, sub in [((16, 16), "444"), ((20, 12, 3), "420"),
+                       ((17, 23, 3), "422")]:
+        img = RNG.integers(0, 256, shape, dtype=np.uint8)
+        s = sub if img.ndim == 3 else "444"
+        hb = encode_jpeg(img, 80, s)
+        ab = encode_jpeg(img, 80, s, arithmetic=True)
+        (tmp_path / "h.jpg").write_bytes(hb)
+        (tmp_path / "a.jpg").write_bytes(ab)
+        subprocess.run(
+            [str(exe), str(tmp_path / "a.jpg"),
+             str(tmp_path / "a2h.jpg"), "huff"], check=True,
+        )
+        assert np.array_equal(
+            decode_jpeg((tmp_path / "a2h.jpg").read_bytes()),
+            decode_jpeg(hb),
+        ), ("libjpeg->huff", shape, sub)
+        subprocess.run(
+            [str(exe), str(tmp_path / "h.jpg"),
+             str(tmp_path / "h2a.jpg"), "arith"], check=True,
+        )
+        assert np.array_equal(
+            decode_jpeg((tmp_path / "h2a.jpg").read_bytes()),
+            decode_jpeg(hb),
+        ), ("libjpeg->arith", shape, sub)
 
 
 def test_jpeg_lossless_exact_all_predictors():
