@@ -456,3 +456,12 @@ UNION ALL
 SELECT 'ALL', count(DISTINCT gram), TRUE FROM g
 """,
 )
+
+
+# Distributed BPE tokenizer training (ops/bpe.py): 8 merge iterations of
+# weighted pair counting over the distinct-word table; the DuckDB twin
+# replays every data-driven iteration via materialized CTEs + scalar
+# subqueries, so the full iterative computation is value-checked.
+from .ops.bpe import bpe_oracle, bpe_train  # noqa: E402
+
+_register("bpe_merges", bpe_train, bpe_oracle())
