@@ -21,9 +21,9 @@ closes the boundary with no codec libraries, which the container lacks:
   spectral selection + successive approximation (DC/AC first and
   refinement scans, EOB runs), dequant, batched 8×8 IDCT, chroma
   upsampling for 4:4:4 / 4:2:2 / 4:2:0, restart markers — plus
-  baseline/12-bit/progressive/lossless/arithmetic encoders used by
-  fixtures.  Hierarchical and progressive-arithmetic streams are
-  rejected explicitly.
+  baseline/12-bit/progressive/lossless/arithmetic (sequential SOF9 and
+  progressive SOF10) encoders used by fixtures.  Hierarchical streams
+  are rejected explicitly.
 
 Performance shape: the bit-serial parts (Huffman, PNG sub/avg/paeth
 filters) are honest per-element Python — fine because decode
@@ -865,19 +865,21 @@ def _arith_decode_dc(
 
 
 def _arith_decode_ac(
-    dec: _ArithDecoder, st: _Stats, fixed: _Stats, coef: np.ndarray, kx: int,
+    dec: _ArithDecoder, st: _Stats, fixed: _Stats, coef: np.ndarray,
+    kx: int, ss: int = 1, se: int = 63, al: int = 0,
 ) -> None:
-    """Decode the AC coefficients of one block in zigzag order
-    (F.2.4.2): EOB decision per index, fixed-bin sign, magnitude
-    category tree with the Kx-conditioned X2+ chains."""
-    k = 1
-    while k <= 63:
+    """Decode AC coefficients of one block in zigzag order (F.2.4.2 /
+    G.2 first pass over band Ss..Se at approximation Al): per-index EOB
+    decision, fixed-bin sign, magnitude category tree with the
+    Kx-conditioned X2+ chains."""
+    k = ss
+    while k <= se:
         base = 3 * (k - 1)
         if dec.decode(st, base):  # EOB
             return
         while dec.decode(st, base + 1) == 0:
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("arithmetic AC index overflow")
             base = 3 * (k - 1)
         sign = dec.decode(fixed, 0)
@@ -899,7 +901,39 @@ def _arith_decode_ac(
             if dec.decode(st, node):
                 v |= m
         v += 1
-        coef[k] = -v if sign else v
+        coef[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _arith_decode_ac_refine(
+    dec: _ArithDecoder, st: _Stats, fixed: _Stats, coef: np.ndarray,
+    ss: int, se: int, al: int,
+) -> None:
+    """G.2 AC refinement scan: correction bits for history-nonzero
+    coefficients, newly-nonzero insertions at ±1<<Al, EOB decisions
+    only beyond the previous scan's end-of-block index."""
+    p1 = 1 << al
+    m1 = -p1
+    kex = se
+    while kex > 0 and coef[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex and dec.decode(st, base):  # EOB
+            return
+        while True:
+            if coef[k]:
+                if dec.decode(st, base + 2):
+                    coef[k] += m1 if coef[k] < 0 else p1
+                break
+            if dec.decode(st, base + 1):
+                coef[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC refine overflow")
+            base = 3 * (k - 1)
         k += 1
 
 
@@ -943,34 +977,35 @@ def _arith_encode_dc(
 
 
 def _arith_encode_ac(
-    enc: _ArithEncoder, st: _Stats, fixed: _Stats, zz: np.ndarray, kx: int,
+    enc: _ArithEncoder, st: _Stats, fixed: _Stats, zz: np.ndarray,
+    kx: int, ss: int = 1, se: int = 63, al: int = 0,
 ) -> None:
-    """Encode the AC coefficients of one block (F.1.4.4.2)."""
-    ke = 63
-    while ke > 0 and zz[ke] == 0:
+    """Encode AC coefficients of one block (F.1.4.4.2 / G.1 first pass
+    over band Ss..Se at approximation Al)."""
+    ke = se
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         base = 3 * (k - 1)
         enc.code(st, base, 0)  # not EOB yet
         v = int(zz[k])
-        while v == 0:
+        t = abs(v) >> al
+        while t == 0:
             enc.code(st, base + 1, 0)
             k += 1
             base = 3 * (k - 1)
             v = int(zz[k])
+            t = abs(v) >> al
         enc.code(st, base + 1, 1)
-        sign = 1 if v < 0 else 0
-        if sign:
-            v = -v
-        enc.code(fixed, 0, sign)
+        enc.code(fixed, 0, 1 if v < 0 else 0)
         node = base + 2
         m = 0
-        v -= 1
-        if v:
+        t -= 1
+        if t:
             enc.code(st, node, 1)
             m = 1
-            v2 = v
+            v2 = t
             if v2 > 1:
                 enc.code(st, node, 1)
                 m = 2
@@ -984,9 +1019,43 @@ def _arith_encode_ac(
         node += 14
         while m > 1:
             m >>= 1
-            enc.code(st, node, 1 if v & m else 0)
+            enc.code(st, node, 1 if t & m else 0)
         k += 1
-    if ke < 63:
+    if k <= se:
+        enc.code(st, 3 * (k - 1), 1)  # EOB
+
+
+def _arith_encode_ac_refine(
+    enc: _ArithEncoder, st: _Stats, fixed: _Stats, zz: np.ndarray,
+    ss: int, se: int, al: int,
+) -> None:
+    """G.1 AC refinement scan encoder (mirror of the decode above)."""
+    ke = se
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
+        ke -= 1
+    kex = se
+    while kex > 0 and (abs(int(zz[kex])) >> (al + 1)) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.code(st, base, 0)
+        while True:
+            v = int(zz[k])
+            t = abs(v) >> al
+            if t:
+                if t >> 1:  # history-nonzero: correction bit
+                    enc.code(st, base + 2, t & 1)
+                else:  # newly nonzero: sign via the fixed bin
+                    enc.code(st, base + 1, 1)
+                    enc.code(fixed, 0, 1 if v < 0 else 0)
+                break
+            enc.code(st, base + 1, 0)
+            k += 1
+            base = 3 * (k - 1)
+        k += 1
+    if k <= se:
         enc.code(st, 3 * (k - 1), 1)  # EOB
 
 
@@ -1079,12 +1148,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         seg, ">u2", 64, i + 1
                     ).astype(np.int64)
                     i += 129
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0 baseline / SOF1 extended sequential (8/12-bit) /
-            # SOF2 progressive / SOF3 lossless / SOF9 arithmetic seq.
+            # SOF2 progressive / SOF3 lossless / SOF9-SOF10 arithmetic
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             lossless = marker == 0xC3
-            arith = marker == 0xC9
+            arith = marker in (0xC9, 0xCA)
             if lossless:
                 if prec not in range(2, 17):
                     raise ValueError(f"bad lossless precision {prec}")
@@ -1113,12 +1182,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     bh = -(-ch // 8)
                     coefs[cid] = np.zeros((gh, gw, 64), np.int64)
                     grid[cid] = (gw, gh, bw, bh)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA,
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG frame type 0xFF{marker:02X} "
-                "(SOF0/1/2/9 DCT and SOF3 lossless only — "
-                "hierarchical and progressive-arithmetic streams reject)"
+                "(SOF0/1/2/9/10 DCT and SOF3 lossless only — "
+                "hierarchical streams reject)"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -1157,31 +1226,58 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         "restart markers in arithmetic scans not supported"
                     )
                 dec = _ArithDecoder(data, pos)
+                # statistics reset at every scan start (F.1.4.4 / G.2)
                 dc_stats = {t: _Stats(_DC_STAT_BINS) for t in range(4)}
                 ac_stats = {t: _Stats(_AC_STAT_BINS) for t in range(4)}
                 fixed = _Stats(1)
                 fixed.idx[0] = _FIXED_BIN
-                dc_ctx = {c[0]: 0 for c in comps}
-                preds = {c[0]: 0 for c in comps}
-                scomps = [c for c in comps if c[0] in scan_tabs]
-                for m in range(mcux * mcuy):
-                    my, mx = divmod(m, mcux)
-                    for cid, hi, v, _tq in scomps:
-                        dcid, acid = scan_tabs[cid]
-                        for by in range(v):
-                            for bx in range(hi):
-                                coef = coefs[cid][my * v + by, mx * hi + bx]
-                                diff, ctx = _arith_decode_dc(
-                                    dec, dc_stats[dcid], dc_ctx[cid],
-                                    *dc_cond[dcid],
-                                )
-                                preds[cid] += diff
-                                dc_ctx[cid] = ctx
-                                coef[0] = preds[cid]
-                                _arith_decode_ac(
-                                    dec, ac_stats[acid], fixed, coef,
-                                    ac_cond[acid],
-                                )
+                if ss == 0:
+                    # DC scan, interleaved (sequential SOF9: AC follows
+                    # in the same block walk with se == 63)
+                    dc_ctx = {c[0]: 0 for c in comps}
+                    preds = {c[0]: 0 for c in comps}
+                    scomps = [c for c in comps if c[0] in scan_tabs]
+                    for m in range(mcux * mcuy):
+                        my, mx = divmod(m, mcux)
+                        for cid, hi, v, _tq in scomps:
+                            dcid, acid = scan_tabs[cid]
+                            for by in range(v):
+                                for bx in range(hi):
+                                    coef = coefs[cid][
+                                        my * v + by, mx * hi + bx
+                                    ]
+                                    if ah == 0:
+                                        diff, ctx = _arith_decode_dc(
+                                            dec, dc_stats[dcid],
+                                            dc_ctx[cid], *dc_cond[dcid],
+                                        )
+                                        preds[cid] += diff
+                                        dc_ctx[cid] = ctx
+                                        coef[0] = preds[cid] << al
+                                    elif dec.decode(fixed, 0):
+                                        coef[0] |= 1 << al
+                                    if se > 0 and ah == 0:
+                                        _arith_decode_ac(
+                                            dec, ac_stats[acid], fixed,
+                                            coef, ac_cond[acid], 1, se, al,
+                                        )
+                else:
+                    # AC scan: single component, true block raster
+                    cid, _dcid, acid = scan[0][0], *scan_tabs[scan[0][0]]
+                    _gw, _gh, bw, bh = grid[cid]
+                    for b in range(bw * bh):
+                        by, bx = divmod(b, bw)
+                        coef = coefs[cid][by, bx]
+                        if ah == 0:
+                            _arith_decode_ac(
+                                dec, ac_stats[acid], fixed, coef,
+                                ac_cond[acid], ss, se, al,
+                            )
+                        else:
+                            _arith_decode_ac_refine(
+                                dec, ac_stats[acid], fixed, coef,
+                                ss, se, al,
+                            )
                 n_scans += 1
                 pos = _skip_entropy(data, dec.pos)
                 continue
@@ -1923,6 +2019,121 @@ def encode_jpeg_progressive(
         _enc_ac_refine(buf, tid_of[ci], tensors[ci], bw, bh, 1, 63, 0)
         hdr = bytes([1, ci + 1, tid_of[ci]])
         buf.emit(out, hdr + bytes([1, 63, 0x10]))
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive_arith(
+    img: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → progressive ARITHMETIC
+    (SOF10) JFIF: the SAME scan script as encode_jpeg_progressive
+    (interleaved DC first at Al=1 → per-component AC bands 1-5 / 6-63
+    at Al=1 → DC refinement → AC refinement to Al=0) with the Annex G
+    arithmetic entropy layer — fresh QM coder and statistics per scan,
+    default conditioning.  Decodes byte-identical to the progressive
+    and baseline streams of the same image (same coefficients)."""
+    (gray, h, w, factors, hmax, vmax, mcux, mcuy, tensors, dims,
+     ql, qc) = _coef_tensors(img, quality, subsampling)
+    nc = len(factors)
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tq, q in ((0, ql),) if gray else ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(q[z]) for z in ZIGZAG
+        )
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        hi, vi = factors[i]
+        sof += bytes([i + 1, hi << 4 | vi, 0 if i == 0 else 1])
+    out += b"\xff\xca" + struct.pack(">H", len(sof) + 2) + sof
+    tid_of = [0] + [1] * (nc - 1)
+
+    def emit_scan(hdr_comps: bytes, band: bytes, payload: bytes) -> None:
+        sos = hdr_comps + band
+        out.extend(b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos)
+        out.extend(payload)
+
+    def fresh():
+        enc = _ArithEncoder()
+        fixed = _Stats(1)
+        fixed.idx[0] = _FIXED_BIN
+        return enc, fixed
+
+    # scan 1: DC first, interleaved, Al=1
+    enc, fixed = fresh()
+    dstats = {t: _Stats(_DC_STAT_BINS) for t in range(2)}
+    dctx = [0] * nc
+    preds = [0] * nc
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(nc):
+            hi, vi = factors[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    d = int(tensors[ci][my * vi + by, mx * hi + bx, 0]) >> 1
+                    dctx[ci] = _arith_encode_dc(
+                        enc, dstats[tid_of[ci]], dctx[ci],
+                        d - preds[ci], 0, 1,
+                    )
+                    preds[ci] = d
+    hdr = bytes([nc])
+    for ci in range(nc):
+        hdr += bytes([ci + 1, tid_of[ci] << 4])
+    emit_scan(hdr, bytes([0, 0, 0x01]), enc.flush())
+
+    # scans 2..: AC first bands at Al=1, per component
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(nc):
+            enc, fixed = fresh()
+            astats = _Stats(_AC_STAT_BINS)
+            bw, bh = dims[ci]
+            for b in range(bw * bh):
+                by, bx = divmod(b, bw)
+                _arith_encode_ac(
+                    enc, astats, fixed, tensors[ci][by, bx], 5, ss, se, 1
+                )
+            emit_scan(
+                bytes([1, ci + 1, tid_of[ci]]), bytes([ss, se, 0x01]),
+                enc.flush(),
+            )
+
+    # DC refinement: one fixed-bin decision per block
+    enc, fixed = fresh()
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(nc):
+            hi, vi = factors[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    enc.code(
+                        fixed, 0,
+                        int(tensors[ci][my * vi + by, mx * hi + bx, 0]) & 1,
+                    )
+    hdr = bytes([nc])
+    for ci in range(nc):
+        hdr += bytes([ci + 1, 0])
+    emit_scan(hdr, bytes([0, 0, 0x10]), enc.flush())
+
+    # AC refinement to Al=0, per component
+    for ci in range(nc):
+        enc, fixed = fresh()
+        astats = _Stats(_AC_STAT_BINS)
+        bw, bh = dims[ci]
+        for b in range(bw * bh):
+            by, bx = divmod(b, bw)
+            _arith_encode_ac_refine(
+                enc, astats, fixed, tensors[ci][by, bx], 1, 63, 0
+            )
+        emit_scan(
+            bytes([1, ci + 1, tid_of[ci]]), bytes([1, 63, 0x10]),
+            enc.flush(),
+        )
 
     out += b"\xff\xd9"
     return bytes(out)

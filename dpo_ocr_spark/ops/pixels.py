@@ -204,7 +204,8 @@ def image_autocrop(
         from .codecs import decode_image, encode_jpeg, encode_png
 
         from .codecs import (
-            encode_jpeg_lossless, encode_jpeg_progressive, encode_png_gray,
+            encode_jpeg_lossless, encode_jpeg_progressive,
+            encode_jpeg_progressive_arith, encode_png_gray,
         )
 
         encoders = {
@@ -224,6 +225,11 @@ def image_autocrop(
             # SOF9 arithmetic: same coefficients as baseline -> same pixels
             "jpeg_arith": lambda im: encode_jpeg(
                 im, 92, "420", arithmetic=True
+            ),
+            # SOF10 progressive arithmetic: same scan script as the
+            # Huffman progressive stream, Annex G entropy layer
+            "jpeg_pa": lambda im: encode_jpeg_progressive_arith(
+                im, 92, "420"
             ),
         }
         enc = encoders[codec]

@@ -541,7 +541,7 @@ ORACLES["interpret_full"] = queries_cascade.INTERPRET_FULL_ORACLE
 # r6 rotation queue (late-r5 additions, all local-sweep green at sf0.01
 # AND sf0.1, never driver-sampled): append_sink, audio_features,
 # video_frame_sample, image_autocrop_png_1bit / _jpeg12 / _jpeg_ll /
-# _jpeg_arith, resume_extract, eval_accuracy_auto_designed (in sample
+# _jpeg_arith / _jpeg_pa, resume_extract, eval_accuracy_auto_designed (in sample
 # r5), decontaminate_bloom, source_counts_cms, term_topk_sketch,
 # gram_cardinality_hll, bpe_merges.  Swap them over the canary block
 # (slots 3-12) once CORRECTNESS_r05 settles the driver-env dispute.

@@ -337,6 +337,14 @@ _register(
     lambda spark, sf_dir: image_autocrop(spark, sf_dir, codec="jpeg_arith"),
     IMAGE_AUTOCROP_ORACLE,
 )
+# SOF10 progressive arithmetic (T.81 Annex G successive approximation
+# over the QM coder, cross-validated both directions against
+# libjpeg-turbo): same coefficients as the baseline stream again
+_register(
+    "image_autocrop_jpeg_pa",
+    lambda spark, sf_dir: image_autocrop(spark, sf_dir, codec="jpeg_pa"),
+    IMAGE_AUTOCROP_ORACLE,
+)
 
 
 def _cluster_reps_oracle() -> str:

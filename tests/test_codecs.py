@@ -162,13 +162,9 @@ def test_jpeg_odd_dimensions():
 def test_jpeg_rejections():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01")
-    # progressive-arithmetic (SOF10) stays rejected: flip FFC0 → FFCA
+    # hierarchical (SOF5) stays rejected: flip FFC0 → FFC5
     data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     i = bytes(data).index(b"\xff\xc0")
-    data[i + 1] = 0xCA
-    with pytest.raises(ValueError, match="frame type"):
-        decode_jpeg(bytes(data))
-    # hierarchical (SOF5) too
     data[i + 1] = 0xC5
     with pytest.raises(ValueError, match="frame type"):
         decode_jpeg(bytes(data))
@@ -224,6 +220,25 @@ def test_jpeg_arithmetic_matches_baseline():
         RNG.integers(0, 256, (8, 8), np.uint8), 80, "444", arithmetic=True
     )
     assert b"\xff\xc9" in blob and b"\xff\xc4" not in blob  # SOF9, no DHT
+
+
+def test_jpeg_progressive_arith_matches_baseline():
+    """SOF10 (T.81 Annex G): the progressive-arithmetic encoder codes
+    the SAME coefficients as the baseline/progressive streams through
+    the successive-approximation scan script (DC+AC first passes at
+    Al=1, refinement scans to Al=0), so all three decode identically."""
+    from dpo_ocr_spark.ops.codecs import encode_jpeg_progressive_arith
+
+    for shape, sub in [
+        ((16, 16), "444"), ((7, 9), "444"),
+        ((20, 12, 3), "420"), ((17, 23, 3), "422"), ((33, 31, 3), "420"),
+    ]:
+        img = RNG.integers(0, 256, shape, dtype=np.uint8)
+        s = sub if img.ndim == 3 else "444"
+        base = decode_jpeg(encode_jpeg(img, 80, s))
+        pa = encode_jpeg_progressive_arith(img, 80, s)
+        assert np.array_equal(decode_jpeg(pa), base), (shape, sub)
+        assert b"\xff\xca" in pa and b"\xff\xc4" not in pa  # SOF10, no DHT
 
 
 def test_arith_coder_core_roundtrip():
@@ -294,7 +309,8 @@ int main(int argc, char **argv) {
   coefs = jpeg_read_coefficients(&s);
   d.err = jpeg_std_error(&de); jpeg_create_compress(&d);
   jpeg_copy_critical_parameters(&s, &d);
-  d.arith_code = argv[3][0] == 'a' ? TRUE : FALSE;
+  d.arith_code = argv[3][0] == 'a' || argv[3][0] == 'p' ? TRUE : FALSE;
+  if (argv[3][0] == 'p') jpeg_simple_progression(&d);
   if (!d.arith_code) d.optimize_coding = TRUE;
   jpeg_stdio_dest(&d, fo); jpeg_write_coefficients(&d, coefs);
   jpeg_finish_compress(&d); jpeg_destroy_compress(&d);
@@ -348,6 +364,30 @@ def test_arith_interop_with_libjpeg(tmp_path):
             decode_jpeg((tmp_path / "h2a.jpg").read_bytes()),
             decode_jpeg(hb),
         ), ("libjpeg->arith", shape, sub)
+        # SOF10 progressive-arithmetic, both directions: libjpeg reads
+        # OUR scan script; we read libjpeg's own (different) scan script
+        from dpo_ocr_spark.ops.codecs import encode_jpeg_progressive_arith
+
+        (tmp_path / "pa.jpg").write_bytes(
+            encode_jpeg_progressive_arith(img, 80, s)
+        )
+        subprocess.run(
+            [str(exe), str(tmp_path / "pa.jpg"),
+             str(tmp_path / "pa2h.jpg"), "huff"], check=True,
+        )
+        assert np.array_equal(
+            decode_jpeg((tmp_path / "pa2h.jpg").read_bytes()),
+            decode_jpeg(hb),
+        ), ("libjpeg->huff-from-SOF10", shape, sub)
+        subprocess.run(
+            [str(exe), str(tmp_path / "h.jpg"),
+             str(tmp_path / "h2pa.jpg"), "prog"], check=True,
+        )
+        blob = (tmp_path / "h2pa.jpg").read_bytes()
+        assert b"\xff\xca" in blob, ("libjpeg emitted non-SOF10", shape, sub)
+        assert np.array_equal(
+            decode_jpeg(blob), decode_jpeg(hb),
+        ), ("we-read-libjpeg-SOF10", shape, sub)
 
 
 def test_jpeg_lossless_exact_all_predictors():
