@@ -518,6 +518,7 @@ from . import queries_curation  # noqa: E402,F401
 from . import queries_canary  # noqa: E402,F401
 from . import queries_cascade  # noqa: E402,F401
 from . import queries_sinks  # noqa: E402,F401
+from . import queries_warc  # noqa: E402,F401
 
 ORACLES["interpret_full"] = queries_cascade.INTERPRET_FULL_ORACLE
 
@@ -543,8 +544,10 @@ ORACLES["interpret_full"] = queries_cascade.INTERPRET_FULL_ORACLE
 # video_frame_sample, image_autocrop_png_1bit / _jpeg12 / _jpeg_ll /
 # _jpeg_arith / _jpeg_pa, resume_extract, eval_accuracy_auto_designed (in sample
 # r5), decontaminate_bloom, source_counts_cms, term_topk_sketch,
-# gram_cardinality_hll, bpe_merges.  Swap them over the canary block
-# (slots 3-12) once CORRECTNESS_r05 settles the driver-env dispute.
+# gram_cardinality_hll, bpe_merges; plus the WARC/WET/CDX container
+# queries (warc_extract, warc_fetch_subset, cdx_urlkeys, wet_langs).
+# Swap them over the canary block (slots 3-12) once CORRECTNESS_r05
+# settles the driver-env dispute.
 # ---------------------------------------------------------------------------
 
 _FIRST = [
