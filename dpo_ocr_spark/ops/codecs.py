@@ -23,7 +23,13 @@ closes the boundary with no codec libraries, which the container lacks:
   upsampling for 4:4:4 / 4:2:2 / 4:2:0, restart markers — plus
   baseline/12-bit/progressive/lossless/arithmetic (sequential SOF9 and
   progressive SOF10) encoders used by fixtures.  Hierarchical streams
-  are rejected explicitly.
+  (Annex J: DHP, EXP reference expansion, differential SOF5 sequential
+  and SOF7 lossless frames over Huffman/lossless non-differential
+  bases) decode via ``_decode_jpeg_hier``, with matching pyramid
+  encoders; differential-progressive (SOF6) and differential-arithmetic
+  (SOF13-15) frames are the remaining explicit rejects — libjpeg has no
+  hierarchical mode at all, so no cross-validator exists and only the
+  self-roundtrip-pinned subset is claimed.
 
 Performance shape: the bit-serial parts (Huffman, PNG sub/avg/paeth
 filters) are honest per-element Python — fine because decode
@@ -1182,12 +1188,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     bh = -(-ch // 8)
                     coefs[cid] = np.zeros((gh, gw, 64), np.int64)
                     grid[cid] = (gw, gh, bw, bh)
+        elif marker == 0xDE:  # DHP: hierarchical stream (Annex J)
+            return _decode_jpeg_hier(data)
         elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG frame type 0xFF{marker:02X} "
-                "(SOF0/1/2/9/10 DCT and SOF3 lossless only — "
-                "hierarchical streams reject)"
+                f"differential frame 0xFF{marker:02X} outside a "
+                "hierarchical stream (no preceding DHP)"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -1400,6 +1407,276 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ).astype(np.uint8)
 
 
+# --- hierarchical JPEG (ITU-T T.81 Annex J) ---------------------------------
+
+
+def _hier_upsample(p: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """Reference-component expansion, spec J.1.1.2: doubled axis gets
+    x[2i] = in[i], x[2i+1] = (in[i] + in[i+1] + 1) >> 1, last column/row
+    replicated.  Integer-exact (the bit-exact filter the spec fixes so
+    encoder and decoder reconstruct identical references)."""
+    p = p.astype(np.int64)
+    if eh:
+        q = np.empty((p.shape[0], 2 * p.shape[1]), np.int64)
+        q[:, 0::2] = p
+        if p.shape[1] > 1:
+            q[:, 1:-1:2] = (p[:, :-1] + p[:, 1:] + 1) >> 1
+        q[:, -1] = p[:, -1]
+        p = q
+    if ev:
+        q = np.empty((2 * p.shape[0], p.shape[1]), np.int64)
+        q[0::2, :] = p
+        if p.shape[0] > 1:
+            q[1:-1:2, :] = (p[:-1, :] + p[1:, :] + 1) >> 1
+        q[-1, :] = p[-1, :]
+        p = q
+    return p
+
+
+def _decode_lossless_diff_scan(
+    br: _BitReader, dc_t: dict, ref: np.ndarray, h: int, w: int
+) -> np.ndarray:
+    """Differential lossless scan (SOF7, spec J.1.1.3/H): the coded
+    values are sample-minus-reference diffs — no spatial predictor —
+    added back modulo 2^16."""
+    out = np.zeros((h, w), np.int64)
+    for y in range(h):
+        for x in range(w):
+            s = br.huff(dc_t)
+            if s == 16:
+                diff = 32768
+            else:
+                diff = _extend(br.read(s), s) if s else 0
+            out[y, x] = (int(ref[y, x]) + diff) & 0xFFFF
+    return out
+
+
+def _decode_jpeg_hier(data: bytes) -> np.ndarray:
+    """Hierarchical JPEG (Annex J): DHP-led pyramid of frames — a
+    non-differential first frame per component followed by EXP-expanded
+    differential refinement frames whose decoded values add onto the
+    upsampled reference reconstruction.
+
+    Supported frame types inside the pyramid: Huffman sequential DCT
+    (SOF0/SOF1 non-differential, SOF5 differential) and lossless
+    (SOF3 non-differential, SOF7 differential); components must share
+    sampling factors (the 4:4:4/grayscale pyramids the fixture encoders
+    emit).  Progressive (SOF6) and arithmetic (SOF13-15) differential
+    frames reject explicitly — with no independent implementation to
+    cross-validate against (libjpeg has no hierarchical mode at all),
+    only the self-roundtrip-pinned subset is claimed."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    dhp = None  # (precision, H, W, comps)
+    refs: dict[int, np.ndarray] = {}  # cid -> int64 (h, w) reconstruction
+    pending_exp: tuple[int, int] | None = None
+    restart = 0
+    fr: dict | None = None  # current frame context
+
+    def finish_frame() -> None:
+        nonlocal fr
+        if fr is None:
+            return
+        prec = fr["prec"]
+        shift = 1 << (prec - 1)
+        maxv = (1 << prec) - 1
+        for cid, _hi, _vi, tq in fr["comps"]:
+            if fr["lossless"]:
+                recon = fr["planes"][cid]
+            else:
+                deq = fr["coefs"][cid] * qtables[tq]
+                nat = np.zeros_like(deq, dtype=np.float64)
+                nat[..., ZIGZAG] = deq
+                blocks = nat.reshape(*nat.shape[:2], 8, 8)
+                blk = np.einsum(
+                    "ij,mnjk,kl->mnil", _DCT_C.T, blocks, _DCT_C,
+                    optimize=True,
+                )
+                plane = blk.transpose(0, 2, 1, 3).reshape(
+                    nat.shape[0] * 8, nat.shape[1] * 8
+                )[: fr["h"], : fr["w"]]
+                vals = np.rint(plane).astype(np.int64)
+                if fr["diff"]:
+                    recon = np.clip(refs[cid] + vals, 0, maxv)
+                else:
+                    recon = np.clip(vals + shift, 0, maxv)
+            refs[cid] = recon
+        fr = None
+
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT (tables persist across frames, B.2.4.1)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq == 0:
+                    qtables[tq] = np.frombuffer(
+                        seg, np.uint8, 64, i + 1
+                    ).astype(np.int64)
+                    i += 65
+                else:
+                    qtables[tq] = np.frombuffer(
+                        seg, ">u2", 64, i + 1
+                    ).astype(np.int64)
+                    i += 129
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                huff[(tc, th)] = _build_huff(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDE:  # DHP
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError("hierarchical: 8-bit precision only")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            dhp = (prec, h, w, comps)
+        elif marker == 0xDF:  # EXP: expand reference for the next frame
+            finish_frame()
+            pending_exp = (seg[0] >> 4, seg[0] & 15)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC7):
+            finish_frame()
+            if dhp is None:
+                raise ValueError("hierarchical frame before DHP")
+            diff = marker in (0xC5, 0xC7)
+            lossless = marker in (0xC3, 0xC7)
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError("hierarchical: 8-bit precision only")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if (hv >> 4, hv & 15) != (1, 1):
+                    raise ValueError(
+                        "hierarchical: components must be unsubsampled"
+                    )
+                comps.append((cid, 1, 1, tq))
+            if diff:
+                eh, ev = pending_exp or (0, 0)
+                for cid, *_ in comps:
+                    if cid not in refs:
+                        raise ValueError(
+                            "differential frame without reference"
+                        )
+                    refs[cid] = _hier_upsample(refs[cid], eh, ev)[:h, :w]
+                    if refs[cid].shape != (h, w):
+                        raise ValueError(
+                            "reference/frame size mismatch after EXP"
+                        )
+                pending_exp = None
+            fr = {
+                "diff": diff, "lossless": lossless, "prec": prec,
+                "h": h, "w": w, "comps": comps,
+                "coefs": {
+                    c[0]: np.zeros((-(-h // 8), -(-w // 8), 64), np.int64)
+                    for c in comps
+                },
+                "planes": {},
+            }
+        elif marker in (0xC2, 0xC6, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported frame type 0xFF{marker:02X} inside a "
+                "hierarchical stream (Huffman sequential/lossless only)"
+            )
+        elif marker == 0xDA:  # SOS
+            if fr is None:
+                raise ValueError("hierarchical SOS outside a frame")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cs, tt >> 4, tt & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            pos += ln
+            br = _BitReader(data, pos)
+            scan_tabs = {cs: (dc, ac) for cs, dc, ac in scan}
+            if fr["lossless"]:
+                if len(scan) != 1:
+                    raise ValueError(
+                        "hierarchical: single-component lossless scans only"
+                    )
+                cid, dc_id, _ = scan[0]
+                if fr["diff"]:
+                    # Ss must be 0 in differential lossless scans (J.1.1.3)
+                    fr["planes"][cid] = _decode_lossless_diff_scan(
+                        br, huff[(0, dc_id)], refs[cid], fr["h"], fr["w"]
+                    )
+                else:
+                    fr["planes"][cid] = _decode_lossless_scan(
+                        br, huff[(0, dc_id)], fr["h"], fr["w"],
+                        fr["prec"], ss, seg[3 + 2 * ns] & 15,
+                    )
+            else:
+                st = _ScanState(fr["comps"])
+                scomps = [c for c in fr["comps"] if c[0] in scan_tabs]
+                bw_g = -(-fr["w"] // 8)
+                bh_g = -(-fr["h"] // 8)
+                for b in range(bw_g * bh_g):
+                    if restart and b and b % restart == 0:
+                        br.expect_rst()
+                        st.reset()
+                    by, bx = divmod(b, bw_g)
+                    for cid, _hi, _vi, _tq in scomps:
+                        dc_id, ac_id = scan_tabs[cid]
+                        coef = fr["coefs"][cid][by, bx]
+                        if fr["diff"]:
+                            # DC prediction is zero in differential
+                            # frames (F.2.1.3.1): the coded value IS the
+                            # block's DC
+                            st.preds[cid] = 0
+                        _decode_dc(br, st, coef, cid, huff[(0, dc_id)], 0, 0)
+                        if se > 0:
+                            _decode_ac_first(
+                                br, st, coef, huff[(1, ac_id)],
+                                max(ss, 1), se, 0,
+                            )
+            pos = _skip_entropy(data, br.pos)
+            continue
+        pos += ln
+    finish_frame()
+    if dhp is None or not refs:
+        raise ValueError("hierarchical stream missing DHP/frames")
+    _prec, h, w, comps = dhp
+    planes = []
+    for cid, *_ in comps:
+        p = refs[cid]
+        if p.shape != (h, w):
+            raise ValueError("pyramid did not reach the DHP dimensions")
+        planes.append(p.astype(np.float64))
+    if len(planes) == 1:
+        g = np.clip(planes[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(planes) != 3:
+        raise ValueError(f"{len(planes)}-component hierarchical JPEG")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.rint(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
 # --- baseline JPEG encoder (fixtures; grayscale or 4:4:4 color) -------------
 
 
@@ -1451,16 +1728,14 @@ def _quant_zz(
     return coef[ZIGZAG]
 
 
-def _encode_block(
+def _write_block_zz(
     bw: _BitWriter,
-    block: np.ndarray,
-    q: np.ndarray,
+    zz: np.ndarray,
     pred: int,
     dc_enc: dict,
     ac_enc: dict,
-    shift: float = 128.0,
 ) -> int:
-    zz = _quant_zz(block, q, shift)
+    """Entropy-write one quantized zigzag block (sequential Huffman)."""
     dc = int(zz[0])
     diff = dc - pred
     s = _category(diff)
@@ -1488,6 +1763,18 @@ def _encode_block(
         code, ln = ac_enc[0x00]  # EOB
         bw.write(code, ln)
     return dc
+
+
+def _encode_block(
+    bw: _BitWriter,
+    block: np.ndarray,
+    q: np.ndarray,
+    pred: int,
+    dc_enc: dict,
+    ac_enc: dict,
+    shift: float = 128.0,
+) -> int:
+    return _write_block_zz(bw, _quant_zz(block, q, shift), pred, dc_enc, ac_enc)
 
 
 def _dht_segment(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
@@ -1721,6 +2008,236 @@ def encode_jpeg_lossless(img: np.ndarray, predictor: int = 1) -> bytes:
                 bwr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
     bwr.flush()
     out += bwr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- hierarchical JPEG encoders (fixtures; exercise the Annex J decoder) ----
+
+
+def _pad8(p: np.ndarray) -> np.ndarray:
+    """Edge-replicate a plane to 8-multiples (block padding, A.2.1)."""
+    h, w = p.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    pp = np.empty((ph, pw))
+    pp[:h, :w] = p
+    pp[h:, :w] = p[h - 1 : h, :]
+    pp[:, w:] = pp[:, w - 1 : w]
+    return pp
+
+
+def _idct_zz(zz: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(bh, bw, 64) quantized zigzag coefficients → float sample plane
+    (the decoder's exact dequant + IDCT, reused so the encoder tracks
+    the decoder's reference reconstruction bit-for-bit).  ``q`` is in
+    natural order (as the encoders hold it); the decoder multiplies
+    zigzag coefficients by the zigzag-ordered DQT payload, so reorder."""
+    deq = zz * q[ZIGZAG]
+    nat = np.zeros_like(deq, dtype=np.float64)
+    nat[..., ZIGZAG] = deq
+    blocks = nat.reshape(*nat.shape[:2], 8, 8)
+    blk = np.einsum(
+        "ij,mnjk,kl->mnil", _DCT_C.T, blocks, _DCT_C, optimize=True
+    )
+    return blk.transpose(0, 2, 1, 3).reshape(
+        nat.shape[0] * 8, nat.shape[1] * 8
+    )
+
+
+def _sof_payload(h: int, w: int, comps: list[tuple[int, int]]) -> bytes:
+    """SOF/DHP parameter block: precision 8, dims, (cid, tq) 1x1 comps."""
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, tq in comps:
+        sof += bytes([cid, 0x11, tq])
+    return sof
+
+
+def encode_jpeg_hier(
+    img: np.ndarray, quality: int = 92, levels: int = 2
+) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → hierarchical JPEG (Annex J):
+    DHP, a non-differential SOF0 frame at the coarsest pyramid level,
+    then per finer level an EXP(1,1) expansion and a differential SOF5
+    frame coding (level − upsampled reconstruction).  4:4:4 components;
+    the encoder mirrors the decoder's reference reconstruction exactly
+    (same quantized coefficients → same IDCT → same J.1.1.2 upsample),
+    so the pyramid refines the true decoder state, not an estimate."""
+    if levels < 1:
+        raise ValueError("levels >= 1")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((QTABLE_LUMA * scale + 50) // 100, 1, 255)
+    qc = np.clip((QTABLE_CHROMA * scale + 50) // 100, 1, 255)
+    if gray:
+        planes = [img.astype(np.float64)]
+        qs, tqs = [ql], [0]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        qs, tqs = [ql, qc, qc], [0, 1, 1]
+    nc = len(planes)
+    dc_l = _huff_encode_map(*HUFF_DC_LUMA)
+    ac_l = _huff_encode_map(*HUFF_AC_LUMA)
+    dc_c = _huff_encode_map(*HUFF_DC_CHROMA)
+    ac_c = _huff_encode_map(*HUFF_AC_CHROMA)
+    encs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (nc - 1)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in ((0, ql),) if gray else ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(q[z]) for z in ZIGZAG
+        )
+    comps = [(i + 1, tqs[i]) for i in range(nc)]
+    dhp = _sof_payload(h, w, comps)
+    out += b"\xff\xde" + struct.pack(">H", len(dhp) + 2) + dhp
+    out += _dht_segment(0, 0, *HUFF_DC_LUMA)
+    out += _dht_segment(1, 0, *HUFF_AC_LUMA)
+    if not gray:
+        out += _dht_segment(0, 1, *HUFF_DC_CHROMA)
+        out += _dht_segment(1, 1, *HUFF_AC_CHROMA)
+
+    recons: list[np.ndarray] | None = None
+    for k in reversed(range(levels)):
+        f = 1 << k
+        lh, lw = -(-h // f), -(-w // f)
+        lplanes = [
+            _block_mean_pool(p, f, f)[:lh, :lw] for p in planes
+        ]
+        diff = recons is not None
+        if diff:
+            out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])  # EXP
+            refs = [_hier_upsample(rc, 1, 1)[:lh, :lw] for rc in recons]
+        sof = _sof_payload(lh, lw, comps)
+        out += (b"\xff\xc5" if diff else b"\xff\xc0") + struct.pack(
+            ">H", len(sof) + 2
+        ) + sof
+        sos = bytes([nc])
+        for i in range(nc):
+            sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+        sos += b"\x00\x3f\x00"
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        bwr = _BitWriter()
+        preds = [0] * nc
+        bw_g, bh_g = -(-lw // 8), -(-lh // 8)
+        zzs = [
+            np.zeros((bh_g, bw_g, 64), np.int64) for _ in range(nc)
+        ]
+        padded = [
+            _pad8(
+                (lplanes[ci] - refs[ci]) if diff else lplanes[ci]
+            )
+            for ci in range(nc)
+        ]
+        for b in range(bw_g * bh_g):
+            by, bx = divmod(b, bw_g)
+            for ci in range(nc):
+                blk = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                zz = _quant_zz(blk, qs[ci], 0.0 if diff else 128.0)
+                zzs[ci][by, bx] = zz
+                if diff:
+                    # DC prediction is zero in differential frames
+                    _write_block_zz(bwr, zz, 0, *encs[ci])
+                else:
+                    preds[ci] = _write_block_zz(bwr, zz, preds[ci], *encs[ci])
+        bwr.flush()
+        out += bwr.out
+        new_recons = []
+        for ci in range(nc):
+            vals = np.rint(_idct_zz(zzs[ci], qs[ci])[:lh, :lw]).astype(
+                np.int64
+            )
+            if diff:
+                rc = np.clip(refs[ci] + vals, 0, 255)
+            else:
+                rc = np.clip(vals + 128, 0, 255)
+            new_recons.append(rc)
+        recons = new_recons
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _write_lossless_plane(
+    bwr: _BitWriter, gi: np.ndarray, dc_enc: dict
+) -> None:
+    """Predictor-1 lossless scan body (shared with encode_jpeg_lossless's
+    inline loop shape; first sample predicts 128 per H.1.2.1)."""
+    h, w = gi.shape
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = 128
+            elif y == 0:
+                pred = int(gi[0, x - 1])
+            elif x == 0:
+                pred = int(gi[y - 1, 0])
+            else:
+                pred = int(gi[y, x - 1])
+            diff = int(gi[y, x]) - pred
+            s = _category(diff)
+            code, ln = dc_enc[s]
+            bwr.write(code, ln)
+            if s:
+                bwr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def encode_jpeg_hier_lossless(img: np.ndarray, levels: int = 2) -> bytes:
+    """(h, w) gray or gray-valued RGB uint8 → lossless hierarchical JPEG:
+    SOF3 (predictor 1) at the coarsest level, then EXP + SOF7 differential
+    lossless refinements.  Every refinement codes exact sample diffs, so
+    ``decode_jpeg`` returns the input bit-for-bit — the end-to-end pin
+    for the Annex J marker/EXP/reference plumbing."""
+    g = img if img.ndim == 2 else img[:, :, 0]
+    if img.ndim == 3:
+        assert (img == g[:, :, None]).all(), "not a gray-valued image"
+    h, w = g.shape
+    out = bytearray(b"\xff\xd8")
+    dhp = _sof_payload(h, w, [(1, 0)])
+    out += b"\xff\xde" + struct.pack(">H", len(dhp) + 2) + dhp
+    out += _dht_segment(0, 0, *HUFF_DC_LUMA)
+    dc_enc = _huff_encode_map(*HUFF_DC_LUMA)
+    recon: np.ndarray | None = None
+    for k in reversed(range(levels)):
+        f = 1 << k
+        lh, lw = -(-h // f), -(-w // f)
+        level = np.clip(
+            np.rint(_block_mean_pool(g.astype(np.float64), f, f)[:lh, :lw]),
+            0, 255,
+        ).astype(np.int64)
+        diff = recon is not None
+        if diff:
+            out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])  # EXP
+            ref = _hier_upsample(recon, 1, 1)[:lh, :lw]
+        sof = _sof_payload(lh, lw, [(1, 0)])
+        out += (b"\xff\xc7" if diff else b"\xff\xc3") + struct.pack(
+            ">H", len(sof) + 2
+        ) + sof
+        # SOS: predictor 1 for the non-differential frame; Ss=0 in
+        # differential frames (no spatial predictor, J.1.1.3)
+        sos = bytes([1, 1, 0x00, 0 if diff else 1, 0, 0x00])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        bwr = _BitWriter()
+        if diff:
+            d = level - ref
+            for y in range(lh):
+                for x in range(lw):
+                    v = int(d[y, x])
+                    s = _category(v)
+                    code, ln = dc_enc[s]
+                    bwr.write(code, ln)
+                    if s:
+                        bwr.write(v if v >= 0 else v + (1 << s) - 1, s)
+            recon = level
+        else:
+            _write_lossless_plane(bwr, level, dc_enc)
+            recon = level
+        bwr.flush()
+        out += bwr.out
     out += b"\xff\xd9"
     return bytes(out)
 

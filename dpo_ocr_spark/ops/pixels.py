@@ -204,6 +204,7 @@ def image_autocrop(
         from .codecs import decode_image, encode_jpeg, encode_png
 
         from .codecs import (
+            encode_jpeg_hier, encode_jpeg_hier_lossless,
             encode_jpeg_lossless, encode_jpeg_progressive,
             encode_jpeg_progressive_arith, encode_png_gray,
         )
@@ -231,6 +232,11 @@ def image_autocrop(
             "jpeg_pa": lambda im: encode_jpeg_progressive_arith(
                 im, 92, "420"
             ),
+            # Annex J hierarchical: SOF0 base + EXP + SOF5 differential
+            # refinement (q92 4:4:4 pyramid), and the exact SOF3+SOF7
+            # lossless pyramid
+            "jpeg_hier": lambda im: encode_jpeg_hier(im, 92, levels=2),
+            "jpeg_hier_ll": lambda im: encode_jpeg_hier_lossless(im, 2),
         }
         enc = encoders[codec]
         for pdf in it:

@@ -545,7 +545,8 @@ ORACLES["interpret_full"] = queries_cascade.INTERPRET_FULL_ORACLE
 # _jpeg_arith / _jpeg_pa, resume_extract, eval_accuracy_auto_designed (in sample
 # r5), decontaminate_bloom, source_counts_cms, term_topk_sketch,
 # gram_cardinality_hll, bpe_merges; plus the WARC/WET/CDX container
-# queries (warc_extract, warc_fetch_subset, cdx_urlkeys, wet_langs).
+# queries (warc_extract, warc_fetch_subset, cdx_urlkeys, wet_langs)
+# and the hierarchical-JPEG pair (image_autocrop_jpeg_hier, _hier_ll).
 # Swap them over the canary block (slots 3-12) once CORRECTNESS_r05
 # settles the driver-env dispute.
 # ---------------------------------------------------------------------------

@@ -345,6 +345,22 @@ _register(
     lambda spark, sf_dir: image_autocrop(spark, sf_dir, codec="jpeg_pa"),
     IMAGE_AUTOCROP_ORACLE,
 )
+# Annex J hierarchical: DHP-led pyramid (non-differential SOF0 base,
+# EXP-expanded SOF5 differential refinement; encoder mirrors the
+# decoder's integer reference reconstruction exactly), and the SOF3+SOF7
+# lossless pyramid whose decode is bit-exact — no libjpeg cross-check
+# exists (libjpeg has no hierarchical mode), so the claims rest on the
+# self-roundtrip + spec pins in tests/test_codecs.py
+_register(
+    "image_autocrop_jpeg_hier",
+    lambda spark, sf_dir: image_autocrop(spark, sf_dir, codec="jpeg_hier"),
+    IMAGE_AUTOCROP_ORACLE,
+)
+_register(
+    "image_autocrop_jpeg_hier_ll",
+    lambda spark, sf_dir: image_autocrop(spark, sf_dir, codec="jpeg_hier_ll"),
+    IMAGE_AUTOCROP_ORACLE,
+)
 
 
 def _cluster_reps_oracle() -> str:

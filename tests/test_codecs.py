@@ -162,11 +162,12 @@ def test_jpeg_odd_dimensions():
 def test_jpeg_rejections():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01")
-    # hierarchical (SOF5) stays rejected: flip FFC0 → FFC5
+    # a differential frame (SOF5) with no DHP before it is malformed:
+    # flip FFC0 → FFC5 in a plain sequential stream
     data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     i = bytes(data).index(b"\xff\xc0")
     data[i + 1] = 0xC5
-    with pytest.raises(ValueError, match="frame type"):
+    with pytest.raises(ValueError, match="outside a hierarchical"):
         decode_jpeg(bytes(data))
 
 
@@ -692,3 +693,96 @@ def test_png_depth_rejections():
     # CRC is not verified by the decoder, so flipping the byte is enough
     with pytest.raises(ValueError, match="interlaced"):
         decode_png(bytes(data))
+
+
+# --- hierarchical JPEG (Annex J) ---------------------------------------------
+
+
+def _hier_test_img(h=47, w=61):
+    x = np.linspace(0, 255, w)
+    return (np.add.outer(np.linspace(0, 200, h), x) / 2).astype(np.uint8)
+
+
+def test_jpeg_hier_lossless_exact():
+    from dpo_ocr_spark.ops.codecs import (
+        decode_jpeg, encode_jpeg_hier_lossless,
+    )
+
+    for h, w, levels in ((47, 61, 3), (8, 8, 1), (9, 17, 2), (1, 5, 2)):
+        img = _hier_test_img(h, w)
+        out = decode_jpeg(encode_jpeg_hier_lossless(img, levels=levels))
+        assert (out == np.repeat(img[:, :, None], 3, axis=2)).all(), (
+            h, w, levels,
+        )
+
+
+def test_jpeg_hier_single_level_equals_sequential():
+    """levels=1 → DHP + one non-differential SOF0 frame: the decoded
+    pixels must be identical to the plain sequential encoding (same
+    tables, same coefficient walk — only the hierarchical plumbing
+    differs)."""
+    from dpo_ocr_spark.ops.codecs import (
+        decode_jpeg, encode_jpeg, encode_jpeg_hier,
+    )
+
+    img = _hier_test_img()
+    a = decode_jpeg(encode_jpeg_hier(img, 92, levels=1))
+    b = decode_jpeg(encode_jpeg(img, 92, "444"))
+    assert (a == b).all()
+    rgb = np.dstack([img, 255 - img, np.roll(img, 5, axis=1)])
+    a = decode_jpeg(encode_jpeg_hier(rgb, 92, levels=1))
+    b = decode_jpeg(encode_jpeg(rgb, 92, "444"))
+    # color differs by at most the integer-reference rounding: the
+    # hierarchical decoder reconstructs INTEGER component references
+    # (they feed J.1.1.2 integer upsampling), the sequential decoder
+    # color-converts unrounded floats.  Each of Y/Cb/Cr can move ≤0.5,
+    # so B moves ≤ 0.5 + 1.772·0.5 = 1.386 before the final rint → ±2
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+
+
+def test_jpeg_hier_refinement_tightens():
+    """Each differential refinement frame must reduce (or keep) the
+    reconstruction error vs the original — and the full pyramid must sit
+    at sequential-quality error levels."""
+    from dpo_ocr_spark.ops.codecs import decode_jpeg, encode_jpeg_hier
+
+    img = _hier_test_img()
+    errs = []
+    for levels in (1, 2, 3):
+        out = decode_jpeg(encode_jpeg_hier(img, 92, levels=levels))[:, :, 0]
+        errs.append(np.abs(out.astype(int) - img.astype(int)).mean())
+    assert errs[0] <= 1.5 and errs[1] <= 1.5 and errs[2] <= 1.5
+    # and a coarse base alone (decode of a truncated pyramid) is NOT
+    # already exact — i.e. the refinement frames carry real signal
+    out2 = decode_jpeg(encode_jpeg_hier(img, 92, levels=3))
+    assert np.abs(out2[:, :, 0].astype(int) - img.astype(int)).max() <= 8
+
+
+def test_jpeg_hier_color_roundtrip_close():
+    from dpo_ocr_spark.ops.codecs import decode_jpeg, encode_jpeg_hier
+
+    img = _hier_test_img()
+    rgb = np.dstack([img, 255 - img, np.roll(img, 5, axis=1)])
+    out = decode_jpeg(encode_jpeg_hier(rgb, 92, levels=3))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 12
+
+
+def test_jpeg_hier_rejections():
+    from dpo_ocr_spark.ops.codecs import decode_jpeg, encode_jpeg_hier
+
+    img = _hier_test_img(16, 16)
+    data = bytearray(encode_jpeg_hier(img, 92, levels=2))
+    # differential frame marker without a hierarchical stream
+    sof5_at = bytes(data).find(b"\xff\xc5")
+    assert sof5_at > 0
+    import pytest as _pytest
+
+    # flip the SOF5 into an unsupported differential-progressive SOF6
+    data2 = bytearray(data)
+    data2[sof5_at + 1] = 0xC6
+    with _pytest.raises(ValueError, match="unsupported frame type"):
+        decode_jpeg(bytes(data2))
+    # SOF5 with no DHP before it (cut the stream after SOI, splice frame)
+    tail = bytes(data[sof5_at:])
+    with _pytest.raises(ValueError, match="outside a hierarchical"):
+        decode_jpeg(b"\xff\xd8" + tail)
