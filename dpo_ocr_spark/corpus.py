@@ -105,6 +105,39 @@ def render_html(doc_id: int, text: str) -> bytes:
     return _HTML_TEMPLATE.format(doc_id=doc_id, paras=paras).encode("utf-8")
 
 
+def render_html_cs(doc_id: int, text: str) -> bytes:
+    """The same page bytes in a deterministic charset mix — the crawl
+    reality the extractor's sniffing ladder (extract/charset.py) must
+    absorb while still producing byte-identical TEXT:
+
+    - doc_id % 3 == 0 → plain UTF-8, no declaration (the strict-UTF-8
+      ladder rung);
+    - doc_id % 3 == 1 → windows-1252 with a ``<meta charset>`` tag (the
+      declared-legacy-charset rung); pages whose text cp1252 cannot
+      encode fall through to the UTF-16 form (deterministic in content);
+    - doc_id % 3 == 2 → UTF-16 with BOM (the BOM rung).
+
+    The oracle is unchanged — charsets change bytes, never text."""
+    page = _HTML_TEMPLATE.format(
+        doc_id=doc_id,
+        paras="\n".join(
+            f"<p>{_html.escape(p)}</p>" for p in split_paragraphs(text)
+        ),
+    )
+    mode = doc_id % 3
+    if mode == 1:
+        tagged = page.replace(
+            "<head>", '<head><meta charset="windows-1252">', 1
+        )
+        try:
+            return tagged.encode("cp1252")
+        except UnicodeEncodeError:
+            pass  # non-latin text: fall through to UTF-16
+    if mode in (1, 2):
+        return page.encode("utf-16")  # BOM + LE
+    return page.encode("utf-8")
+
+
 def render_layout(doc_id: int, text: str) -> bytes:
     """Document-AI-shaped JSON payload: flat ``text`` + per-word spans.
 
@@ -169,11 +202,14 @@ def _gen_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 _EPOCH_US = int(EPOCH.timestamp()) * 1_000_000
 
 
-def _gen_batches_arrow(it):
+def _gen_batches_arrow(it, charset_mix: bool = False):
     """mapInArrow generator — hot path (skips both pandas conversions;
-    same rows as _gen_batches, pinned by test_corpus_gen_equivalence)."""
+    same rows as _gen_batches, pinned by test_corpus_gen_equivalence).
+    ``charset_mix`` swaps the HTML renderer for the deterministic
+    UTF-8/cp1252/UTF-16 mix (render_html_cs); layout JSON stays UTF-8."""
     import pyarrow as pa
 
+    html_of = render_html_cs if charset_mix else render_html
     for batch in it:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
@@ -187,7 +223,7 @@ def _gen_batches_arrow(it):
                 ),
                 pa.array(
                     [
-                        render_layout(i, t) if is_layout_doc(i) else render_html(i, t)
+                        render_layout(i, t) if is_layout_doc(i) else html_of(i, t)
                         for i, t in zip(ids, texts)
                     ],
                     pa.binary(),
@@ -200,7 +236,10 @@ def _gen_batches_arrow(it):
 
 
 def build_web_pages(
-    spark: SparkSession, sf_dir: str, partitions: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    partitions: int | None = None,
+    charset_mix: bool = False,
 ) -> DataFrame:
     """documents parquet → input_hint-shaped web_pages frame.
 
@@ -218,4 +257,9 @@ def build_web_pages(
         from pyspark.sql import functions as F
 
         docs = docs.repartition(partitions, F.xxhash64("doc_id"))
+    if charset_mix:
+        return docs.mapInArrow(
+            lambda it: _gen_batches_arrow(it, charset_mix=True),
+            schema=WEB_PAGES,
+        )
     return docs.mapInArrow(_gen_batches_arrow, schema=WEB_PAGES)

@@ -102,7 +102,9 @@ class _Segmenter(HTMLParser):
 def segment_html(payload: bytes) -> list[str]:
     """payload bytes → kept main-content segments (boilerplate stripped)."""
     parser = _Segmenter()
-    parser.feed(payload.decode("utf-8", errors="replace"))
+    from .charset import decode_html
+
+    parser.feed(decode_html(payload))
     parser.close()
     kept: list[str] = []
     for text, chars, link_chars in parser.segments:

@@ -42,7 +42,9 @@ _RAWTEXT = frozenset(("script", "style"))
 def segment_html_fast(payload: bytes) -> list[str]:
     """payload bytes → kept main-content segments (boilerplate stripped).
     Drop-in replacement for html.segment_html."""
-    text = payload.decode("utf-8", errors="replace")
+    from .charset import decode_html
+
+    text = decode_html(payload)
     segments: list[tuple[str, int, int]] = []
     parts: list[str] = []
     chars = 0

@@ -140,6 +140,31 @@ def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "extract_text_charsets",
+    f"""
+WITH {_ETEXT_CTE}
+SELECT url, etext AS text FROM paras
+""",
+)
+def q_extract_text_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extract_text contract under a deterministic charset mix:
+    every third HTML page is windows-1252 with a ``<meta charset>``
+    declaration, every third UTF-16 with BOM (corpus.render_html_cs);
+    the sniffing ladder (extract/charset.py) must recover byte-identical
+    text — the oracle is exactly extract_text's, because charsets change
+    payload BYTES, never the expected text."""
+    from .corpus import build_web_pages
+    from .extract import extract_pages
+
+    pages = build_web_pages(
+        spark, sf_dir,
+        partitions=spark.sparkContext.defaultParallelism * 2,
+        charset_mix=True,
+    )
+    return extract_pages(pages).select("url", "text")
+
+
+@register(
     "block_assembly",
     f"""
 WITH {_TOKENS_CTE}
@@ -546,7 +571,8 @@ ORACLES["interpret_full"] = queries_cascade.INTERPRET_FULL_ORACLE
 # r5), decontaminate_bloom, source_counts_cms, term_topk_sketch,
 # gram_cardinality_hll, bpe_merges; plus the WARC/WET/CDX container
 # queries (warc_extract, warc_fetch_subset, cdx_urlkeys, wet_langs)
-# and the hierarchical-JPEG pair (image_autocrop_jpeg_hier, _hier_ll).
+# and the hierarchical-JPEG pair (image_autocrop_jpeg_hier, _hier_ll)
+# and the charset-mix extraction twin (extract_text_charsets).
 # Swap them over the canary block (slots 3-12) once CORRECTNESS_r05
 # settles the driver-env dispute.
 # ---------------------------------------------------------------------------
