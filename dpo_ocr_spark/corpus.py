@@ -44,6 +44,7 @@ EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
 _HTML_TEMPLATE = (
     "<html><head><title>Doc {doc_id}</title>"
+    '<link rel="canonical" href="{canon}">{robots}'
     "<style>body{{margin:0;font:14px sans-serif}}</style>"
     "<script>var page={doc_id};trackPageView(page);</script></head>\n"
     "<body>\n"
@@ -98,11 +99,30 @@ def is_layout_doc(doc_id: int) -> bool:
     return doc_id % 5 == 4
 
 
-def render_html(doc_id: int, text: str) -> bytes:
+def is_noindex_doc(doc_id: int) -> bool:
+    """Deterministic robots-noindex marking (~6% of html pages): the
+    curation-relevant head metadata the meta extractor must surface."""
+    return doc_id % 17 == 3
+
+
+def _page_string(doc_id: int, text: str) -> str:
+    """The page markup shared by every HTML renderer (head metadata:
+    title, self-referential canonical link, deterministic robots tag)."""
     paras = "\n".join(
         f"<p>{_html.escape(p)}</p>" for p in split_paragraphs(text)
     )
-    return _HTML_TEMPLATE.format(doc_id=doc_id, paras=paras).encode("utf-8")
+    robots = (
+        '<meta name="robots" content="noindex,nofollow">'
+        if is_noindex_doc(doc_id)
+        else ""
+    )
+    return _HTML_TEMPLATE.format(
+        doc_id=doc_id, paras=paras, canon=page_url(doc_id), robots=robots
+    )
+
+
+def render_html(doc_id: int, text: str) -> bytes:
+    return _page_string(doc_id, text).encode("utf-8")
 
 
 def render_html_cs(doc_id: int, text: str) -> bytes:
@@ -118,12 +138,7 @@ def render_html_cs(doc_id: int, text: str) -> bytes:
     - doc_id % 3 == 2 → UTF-16 with BOM (the BOM rung).
 
     The oracle is unchanged — charsets change bytes, never text."""
-    page = _HTML_TEMPLATE.format(
-        doc_id=doc_id,
-        paras="\n".join(
-            f"<p>{_html.escape(p)}</p>" for p in split_paragraphs(text)
-        ),
-    )
+    page = _page_string(doc_id, text)
     mode = doc_id % 3
     if mode == 1:
         tagged = page.replace(

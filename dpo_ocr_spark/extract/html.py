@@ -101,9 +101,9 @@ class _Segmenter(HTMLParser):
 
 def segment_html(payload: bytes) -> list[str]:
     """payload bytes → kept main-content segments (boilerplate stripped)."""
-    parser = _Segmenter()
     from .charset import decode_html
 
+    parser = _Segmenter()
     parser.feed(decode_html(payload))
     parser.close()
     kept: list[str] = []

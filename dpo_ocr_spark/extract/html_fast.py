@@ -23,6 +23,7 @@ from __future__ import annotations
 import re
 from html import unescape
 
+from .charset import decode_html
 from .html import BLOCK_TAGS, KILL_TAGS, MAX_LINK_DENSITY
 
 _TOKEN_RE = re.compile(
@@ -42,8 +43,6 @@ _RAWTEXT = frozenset(("script", "style"))
 def segment_html_fast(payload: bytes) -> list[str]:
     """payload bytes → kept main-content segments (boilerplate stripped).
     Drop-in replacement for html.segment_html."""
-    from .charset import decode_html
-
     text = decode_html(payload)
     segments: list[tuple[str, int, int]] = []
     parts: list[str] = []

@@ -164,6 +164,62 @@ def q_extract_text_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pages(pages).select("url", "text")
 
 
+def _pages_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-shared raw pages frame (the meta queries reuse one build)."""
+    from .corpus import build_web_pages
+    from .stagecache import shared
+
+    return shared(
+        spark,
+        f"pages:{sf_dir}",
+        lambda: build_web_pages(
+            spark, sf_dir,
+            partitions=spark.sparkContext.defaultParallelism * 2,
+        ),
+    )
+
+
+@register(
+    "html_meta",
+    f"""
+SELECT {_URL_SQL} AS url,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
+       CAST(NULL AS VARCHAR) AS lang_attr,
+       CASE WHEN doc_id % 5 = 4 THEN NULL ELSE {_URL_SQL} END AS canonical_url,
+       (doc_id % 17 = 3 AND doc_id % 5 <> 4) AS robots_noindex,
+       CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 10 END AS INT) AS n_links
+FROM documents
+""",
+)
+def _q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (extract/meta.py): title, ``<html
+    lang>``, self-referential canonical link, deterministic robots
+    noindex marking (corpus.is_noindex_doc), outlink count — the
+    boilerplate frame carries exactly 10 ``<a>`` tags per html page,
+    layout JSON rows have no head (NULL/0)."""
+    from .extract.meta import html_meta
+
+    return html_meta(_pages_shared(spark, sf_dir))
+
+
+@register(
+    "noindex_filter",
+    f"""
+SELECT {_URL_SQL} AS url FROM documents
+WHERE NOT (doc_id % 17 = 3 AND doc_id % 5 <> 4)
+""",
+)
+def _q_noindex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation rule the robots tag exists for: drop pages whose
+    head declares noindex, keep everything else (layout rows carry no
+    robots meta and always pass)."""
+    from .extract.meta import html_meta
+
+    meta = html_meta(_pages_shared(spark, sf_dir))
+    return meta.filter(~F.col("robots_noindex")).select("url")
+
+
 @register(
     "block_assembly",
     f"""
@@ -572,7 +628,8 @@ ORACLES["interpret_full"] = queries_cascade.INTERPRET_FULL_ORACLE
 # gram_cardinality_hll, bpe_merges; plus the WARC/WET/CDX container
 # queries (warc_extract, warc_fetch_subset, cdx_urlkeys, wet_langs)
 # and the hierarchical-JPEG pair (image_autocrop_jpeg_hier, _hier_ll)
-# and the charset-mix extraction twin (extract_text_charsets).
+# and the charset-mix extraction twin (extract_text_charsets) and the
+# head-metadata pair (html_meta, noindex_filter).
 # Swap them over the canary block (slots 3-12) once CORRECTNESS_r05
 # settles the driver-env dispute.
 # ---------------------------------------------------------------------------
