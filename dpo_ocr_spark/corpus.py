@@ -105,9 +105,17 @@ def is_noindex_doc(doc_id: int) -> bool:
     return doc_id % 17 == 3
 
 
+def canonical_id(doc_id: int) -> int:
+    """Deterministic canonical-duplicate marking: every 23rd-ish html
+    page (doc_id % 23 == 7) declares ANOTHER page as its canonical —
+    the syndicated/tracking-variant shape canonical-dedup exists for."""
+    return doc_id - 7 if doc_id % 23 == 7 else doc_id
+
+
 def _page_string(doc_id: int, text: str) -> str:
     """The page markup shared by every HTML renderer (head metadata:
-    title, self-referential canonical link, deterministic robots tag)."""
+    title, canonical link — self-referential except for the marked
+    duplicate variants — and the deterministic robots tag)."""
     paras = "\n".join(
         f"<p>{_html.escape(p)}</p>" for p in split_paragraphs(text)
     )
@@ -117,7 +125,10 @@ def _page_string(doc_id: int, text: str) -> str:
         else ""
     )
     return _HTML_TEMPLATE.format(
-        doc_id=doc_id, paras=paras, canon=page_url(doc_id), robots=robots
+        doc_id=doc_id,
+        paras=paras,
+        canon=page_url(canonical_id(doc_id)),
+        robots=robots,
     )
 
 

@@ -76,6 +76,70 @@ def page_meta(payload: bytes) -> tuple:
     return (title, lang, canonical, noindex, len(_A_RE.findall(text)))
 
 
+_A_HREF_RE = re.compile(r"""<a\b[^>]*?href\s*=\s*["']([^"']*)["']""", re.I)
+_SKIP_SCHEMES = ("javascript:", "mailto:", "tel:", "data:")
+
+OUTLINKS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+        T.StructField("target", T.StringType(), False),
+    ]
+)
+
+
+def page_links(payload: bytes, base_url: str) -> list[str]:
+    """Resolved outlink targets in document order: every ``<a href>``
+    joined against the page url (RFC 3986 via urljoin — ``#`` and
+    fragment-only hrefs resolve to the page itself), non-navigational
+    schemes (javascript/mailto/tel/data) dropped."""
+    if not payload or payload[:1] == b"{":
+        return []
+    from urllib.parse import urljoin
+
+    text = decode_html(payload)
+    out: list[str] = []
+    for m in _A_HREF_RE.finditer(text):
+        href = unescape(m.group(1)).strip()
+        if not href or href.lower().startswith(_SKIP_SCHEMES):
+            continue
+        out.append(urljoin(base_url, href))
+    return out
+
+
+def outlinks(pages: DataFrame) -> DataFrame:
+    """web_pages frame → one row per (page, link position, resolved
+    target): the edge list a web-graph/PageRank/frontier job consumes.
+    Narrow (no shuffle) — degree aggregations shuffle on the target,
+    which is the natural key for the downstream groupBy."""
+
+    def gen(it):
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                pa.field("url", pa.string()),
+                pa.field("pos", pa.int32()),
+                pa.field("target", pa.string()),
+            ]
+        )
+        for batch in it:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            cols: dict[str, list] = {"url": [], "pos": [], "target": []}
+            for url, html in zip(urls, htmls):
+                for pos, target in enumerate(
+                    page_links(bytes(html) if html is not None else b"", url)
+                ):
+                    cols["url"].append(url)
+                    cols["pos"].append(pos)
+                    cols["target"].append(target)
+            if cols["url"]:
+                yield pa.RecordBatch.from_pydict(cols, schema=schema)
+
+    return pages.select("url", "html").mapInArrow(gen, schema=OUTLINKS)
+
+
 def html_meta(pages: DataFrame) -> DataFrame:
     """web_pages frame → HTML_META frame (one row per url, no shuffle)."""
 

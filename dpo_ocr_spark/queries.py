@@ -44,11 +44,22 @@ def register(name: str, sql: str | None = None):
 # Shared oracle SQL fragments (determinism contract with corpus.py)
 # ---------------------------------------------------------------------------
 
-# url formula — corpus.page_url
-_URL_SQL = (
+# url formula — corpus.page_url (parametrized: the canonical-dup oracle
+# needs the url of ANOTHER doc id)
+def _url_sql_of(expr: str) -> str:
+    return (
+        f"'https://host-' || CASE WHEN ({expr}) % 10 = 0 THEN 'hot' "
+        f"ELSE CAST(({expr}) % 20 AS VARCHAR) END || '.example.org/doc/' || "
+        f"lpad(CAST(({expr}) AS VARCHAR), 6, '0')"
+    )
+
+
+_URL_SQL = _url_sql_of("doc_id")
+
+# host base — corpus.page_url's scheme+host prefix (outlink resolution)
+_HOST_SQL = (
     "'https://host-' || CASE WHEN doc_id % 10 = 0 THEN 'hot' "
-    "ELSE CAST(doc_id % 20 AS VARCHAR) END || '.example.org/doc/' || "
-    "lpad(CAST(doc_id AS VARCHAR), 6, '0')"
+    "ELSE CAST(doc_id % 20 AS VARCHAR) END || '.example.org'"
 )
 
 # expected extracted text — corpus.expected_text (≤3-way paragraph split)
@@ -186,7 +197,9 @@ SELECT {_URL_SQL} AS url,
        CASE WHEN doc_id % 5 = 4 THEN NULL
             ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
        CAST(NULL AS VARCHAR) AS lang_attr,
-       CASE WHEN doc_id % 5 = 4 THEN NULL ELSE {_URL_SQL} END AS canonical_url,
+       CASE WHEN doc_id % 5 = 4 THEN NULL
+            WHEN doc_id % 23 = 7 THEN {_url_sql_of("doc_id - 7")}
+            ELSE {_URL_SQL} END AS canonical_url,
        (doc_id % 17 = 3 AND doc_id % 5 <> 4) AS robots_noindex,
        CAST(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 10 END AS INT) AS n_links
 FROM documents
@@ -201,6 +214,54 @@ def _q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extract.meta import html_meta
 
     return html_meta(_pages_shared(spark, sf_dir))
+
+
+@register(
+    "outlinks",
+    f"""
+WITH pages AS (
+  SELECT doc_id, {_URL_SQL} AS url, {_HOST_SQL} AS hb
+  FROM documents WHERE doc_id % 5 <> 4
+), links(pos, path) AS (
+  VALUES (0, '/'), (1, '/archive'), (2, '/about'), (3, '/ad1'),
+         (4, '/ad2'), (5, '#'), (6, '#'), (7, '#'),
+         (8, '/privacy'), (9, '/terms')
+)
+SELECT url, CAST(pos AS INT) AS pos,
+       CASE WHEN path = '#' THEN url ELSE hb || path END AS target
+FROM pages CROSS JOIN links
+""",
+)
+def _q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-graph edge list (extract/meta.outlinks): every ``<a
+    href>`` RFC-3986-resolved against its page url in document order —
+    the fixture's boilerplate yields exactly 10 edges per html page
+    (nav/aside/share/footer; the three ``#`` share links resolve to the
+    page itself), layout rows none."""
+    from .extract.meta import outlinks
+
+    return outlinks(_pages_shared(spark, sf_dir))
+
+
+@register(
+    "canonical_dedup",
+    f"""
+SELECT {_URL_SQL} AS url FROM documents
+WHERE NOT (doc_id % 5 <> 4 AND doc_id % 23 = 7)
+""",
+)
+def _q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (the crawl rule the canonical link exists
+    for): drop pages whose declared canonical points at a DIFFERENT
+    url (corpus.canonical_id marks ~4% of html pages as syndicated
+    variants), keep self-canonical and headless (layout) rows."""
+    from .extract.meta import html_meta
+
+    meta = html_meta(_pages_shared(spark, sf_dir))
+    return meta.filter(
+        F.col("canonical_url").isNull()
+        | (F.col("canonical_url") == F.col("url"))
+    ).select("url")
 
 
 @register(
@@ -629,7 +690,8 @@ ORACLES["interpret_full"] = queries_cascade.INTERPRET_FULL_ORACLE
 # queries (warc_extract, warc_fetch_subset, cdx_urlkeys, wet_langs)
 # and the hierarchical-JPEG pair (image_autocrop_jpeg_hier, _hier_ll)
 # and the charset-mix extraction twin (extract_text_charsets) and the
-# head-metadata pair (html_meta, noindex_filter).
+# head-metadata family (html_meta, noindex_filter, outlinks,
+# canonical_dedup).
 # Swap them over the canary block (slots 3-12) once CORRECTNESS_r05
 # settles the driver-env dispute.
 # ---------------------------------------------------------------------------

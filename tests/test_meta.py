@@ -75,3 +75,52 @@ def test_html_meta_frame(spark):
             assert r["canonical_url"] == url
             assert r["robots_noindex"] == (doc_id % 17 == 3)
             assert r["n_links"] == 10
+
+
+def test_page_links_fixture():
+    from dpo_ocr_spark.extract.meta import page_links
+
+    doc_id = 3
+    url = page_url(doc_id)
+    host = "https://host-3.example.org"
+    links = page_links(render_html(doc_id, TEXT), url)
+    assert links == [
+        host + "/", host + "/archive", host + "/about",
+        host + "/ad1", host + "/ad2",
+        url, url, url,  # the three share-bar '#' links resolve to self
+        host + "/privacy", host + "/terms",
+    ]
+    assert page_links(render_layout(4, TEXT), page_url(4)) == []
+
+
+def test_page_links_resolution_and_skips():
+    from dpo_ocr_spark.extract.meta import page_links
+
+    page = (
+        "<a href='rel.html'>r</a>"
+        "<a href='//other.org/a'>p</a>"
+        "<a href='https://abs.org/x'>a</a>"
+        "<a href='javascript:void(0)'>j</a>"
+        "<a href='MAILTO:x@y.z'>m</a>"
+        "<a href=''>e</a>"
+        "<a href='/q?a=1&amp;b=2'>q</a>"
+    ).encode("utf-8")
+    got = page_links(page, "https://host.example.org/dir/page")
+    assert got == [
+        "https://host.example.org/dir/rel.html",
+        "https://other.org/a",
+        "https://abs.org/x",
+        "https://host.example.org/q?a=1&b=2",  # entity-unescaped href
+    ]
+
+
+def test_canonical_dup_marking():
+    from dpo_ocr_spark.corpus import canonical_id
+    from dpo_ocr_spark.extract.meta import page_meta
+
+    assert canonical_id(7) == 0 and canonical_id(30) == 23
+    assert canonical_id(8) == 8 and canonical_id(23) == 23
+    meta = page_meta(render_html(30, TEXT))
+    assert meta[2] == page_url(23)  # declared canonical is the base page
+    meta = page_meta(render_html(8, TEXT))
+    assert meta[2] == page_url(8)
