@@ -265,6 +265,44 @@ def _q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "crawl_frontier",
+    f"""
+WITH pages AS (
+  SELECT doc_id, {_HOST_SQL} AS hb
+  FROM documents WHERE doc_id % 5 <> 4
+), counts AS (
+  SELECT hb, COUNT(*) AS n FROM pages GROUP BY hb
+), paths(path) AS (
+  VALUES ('/'), ('/archive'), ('/about'), ('/ad1'), ('/ad2'),
+         ('/privacy'), ('/terms')
+)
+SELECT hb || path AS target, CAST(n AS BIGINT) AS n_referrers
+FROM counts CROSS JOIN paths
+""",
+)
+def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-frontier composition: outlink edge list → referrer
+    counts per target → anti-join against the already-crawled url set.
+    The fixture's self-links (the ``#`` share bar) are already crawled
+    and must vanish in the anti-join; the 7 boilerplate paths per host
+    survive, each referred to by every html page of its host.  At scale
+    this is the shuffle-on-target aggregate + one anti-join a frontier
+    builder actually runs (the known-set side would be a bloom/bucketed
+    probe — see decontaminate_bloom for the sketch variant)."""
+    from .extract.meta import outlinks
+
+    pages = _pages_shared(spark, sf_dir)
+    links = outlinks(pages)
+    known = pages.select(F.col("url").alias("target"))
+    return (
+        links.groupBy("target")
+        .agg(F.count("*").cast("long").alias("n_referrers"))
+        .join(known, "target", "left_anti")
+        .select("target", "n_referrers")
+    )
+
+
+@register(
     "noindex_filter",
     f"""
 SELECT {_URL_SQL} AS url FROM documents
@@ -691,7 +729,7 @@ ORACLES["interpret_full"] = queries_cascade.INTERPRET_FULL_ORACLE
 # and the hierarchical-JPEG pair (image_autocrop_jpeg_hier, _hier_ll)
 # and the charset-mix extraction twin (extract_text_charsets) and the
 # head-metadata family (html_meta, noindex_filter, outlinks,
-# canonical_dedup).
+# canonical_dedup, crawl_frontier).
 # Swap them over the canary block (slots 3-12) once CORRECTNESS_r05
 # settles the driver-env dispute.
 # ---------------------------------------------------------------------------

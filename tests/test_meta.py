@@ -72,7 +72,10 @@ def test_html_meta_frame(spark):
             assert r["robots_noindex"] is False
         else:
             assert r["title"] == f"Doc {doc_id}"
-            assert r["canonical_url"] == url
+            if doc_id % 23 == 7:
+                assert r["canonical_url"] == page_url(doc_id - 7)
+            else:
+                assert r["canonical_url"] == url
             assert r["robots_noindex"] == (doc_id % 17 == 3)
             assert r["n_links"] == 10
 
@@ -124,3 +127,20 @@ def test_canonical_dup_marking():
     assert meta[2] == page_url(23)  # declared canonical is the base page
     meta = page_meta(render_html(8, TEXT))
     assert meta[2] == page_url(8)
+
+
+def test_crawl_frontier_query(spark):
+    from dpo_ocr_spark.queries import QUERIES
+
+    rows = QUERIES["crawl_frontier"](spark, "/root/testdata/sf0.001").collect()
+    # hosts with html docs x 7 boilerplate paths; a host h's docs all
+    # share doc_id%5 == h%5, so hosts 4/9/14/19 are layout-only and
+    # emit no links: hot + {1..19} minus {4,9,14,19,10} = 15 hosts.
+    # Self-links must be anti-joined away.
+    assert len(rows) == 15 * 7
+    assert all("/doc/" not in r["target"] for r in rows)
+    by_host = {}
+    for r in rows:
+        host = r["target"].split("/")[2]
+        by_host.setdefault(host, []).append(r)
+    assert all(len(v) == 7 for v in by_host.values())
