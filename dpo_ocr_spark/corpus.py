@@ -31,6 +31,7 @@ from __future__ import annotations
 import html as _html
 import json
 import math
+import zlib
 from collections.abc import Iterator
 from datetime import datetime, timedelta, timezone
 
@@ -164,6 +165,62 @@ def render_html_cs(doc_id: int, text: str) -> bytes:
     return page.encode("utf-8")
 
 
+def _pdf_string(w: str) -> str:
+    """PDF string literal for a word: ASCII-printable words as escaped
+    ``(…)`` literals, everything else as UTF-16BE hex ``<FEFF…>``."""
+    if all(32 <= ord(c) < 127 for c in w):
+        return "(" + w.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)") + ")"
+    return "<FEFF" + w.encode("utf-16-be").hex().upper() + ">"
+
+
+def render_pdf(doc_id: int, text: str) -> bytes:
+    """The document as a minimal-but-valid PDF 1.4: one page, Helvetica,
+    one explicitly-positioned ``Tm``+``Tj`` show per word (empty words
+    included as positional placeholders so consecutive spaces survive),
+    paragraph k on baseline y = 720 − 24k.  Even doc_ids carry a
+    FlateDecode content stream, odd ones raw — both reader paths are
+    exercised by the gate.  The extractor must recover
+    ``expected_text(text)`` byte-identically (same contract as HTML)."""
+    lines = ["BT", "/F1 12 Tf"]
+    for li, para in enumerate(split_paragraphs(text)):
+        y = 720 - 24 * li
+        x = 72
+        for w in para.split(" "):
+            lines.append(f"1 0 0 1 {x} {y} Tm {_pdf_string(w)} Tj")
+            x += 8 * len(w) + 8
+    lines.append("ET")
+    content = "\n".join(lines).encode("latin-1", "backslashreplace")
+    flate = doc_id % 2 == 0
+    if flate:
+        content = zlib.compress(content, 9)
+        filt = " /Filter /FlateDecode"
+    else:
+        filt = ""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        f"<< /Length {len(content)}{filt} >>".encode("ascii")
+        + b"\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode("ascii") + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode("ascii")
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode("ascii")
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode("ascii")
+    return bytes(out)
+
+
 def render_layout(doc_id: int, text: str) -> bytes:
     """Document-AI-shaped JSON payload: flat ``text`` + per-word spans.
 
@@ -228,14 +285,20 @@ def _gen_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 _EPOCH_US = int(EPOCH.timestamp()) * 1_000_000
 
 
-def _gen_batches_arrow(it, charset_mix: bool = False):
+def _gen_batches_arrow(it, charset_mix: bool = False, pdf_mix: bool = False):
     """mapInArrow generator — hot path (skips both pandas conversions;
     same rows as _gen_batches, pinned by test_corpus_gen_equivalence).
     ``charset_mix`` swaps the HTML renderer for the deterministic
-    UTF-8/cp1252/UTF-16 mix (render_html_cs); layout JSON stays UTF-8."""
+    UTF-8/cp1252/UTF-16 mix (render_html_cs); ``pdf_mix`` swaps it for
+    the PDF renderer (render_pdf — Flate/raw streams by doc parity);
+    layout JSON rows stay JSON in every mix."""
     import pyarrow as pa
 
-    html_of = render_html_cs if charset_mix else render_html
+    html_of = render_html
+    if charset_mix:
+        html_of = render_html_cs
+    elif pdf_mix:
+        html_of = render_pdf
     for batch in it:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
@@ -266,6 +329,7 @@ def build_web_pages(
     sf_dir: str,
     partitions: int | None = None,
     charset_mix: bool = False,
+    pdf_mix: bool = False,
 ) -> DataFrame:
     """documents parquet → input_hint-shaped web_pages frame.
 
@@ -283,9 +347,11 @@ def build_web_pages(
         from pyspark.sql import functions as F
 
         docs = docs.repartition(partitions, F.xxhash64("doc_id"))
-    if charset_mix:
+    if charset_mix or pdf_mix:
         return docs.mapInArrow(
-            lambda it: _gen_batches_arrow(it, charset_mix=True),
+            lambda it: _gen_batches_arrow(
+                it, charset_mix=charset_mix, pdf_mix=pdf_mix
+            ),
             schema=WEB_PAGES,
         )
     return docs.mapInArrow(_gen_batches_arrow, schema=WEB_PAGES)

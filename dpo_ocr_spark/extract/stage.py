@@ -46,6 +46,11 @@ def _extract_one(payload: bytes | None, pre_text: str | None):
         if payload[:1] == b"{":
             text, tokens, blocks = extract_layout(payload)
             return "layout", text, tokens, blocks, len(payload)
+        if payload[:5] == b"%PDF-":
+            from .pdf import extract_pdf
+
+            text, tokens, blocks = extract_pdf(payload)
+            return "pdf", text, tokens, blocks, len(payload)
         text, tokens, blocks = extract_html(payload)
         return "html", text, tokens, blocks, len(payload)
     except Exception:

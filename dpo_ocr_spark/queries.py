@@ -175,6 +175,32 @@ def q_extract_text_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pages(pages).select("url", "text")
 
 
+@register(
+    "extract_text_pdf",
+    f"""
+WITH {_ETEXT_CTE}
+SELECT url, etext AS text FROM paras
+""",
+)
+def q_extract_text_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extract_text contract over REAL PDF payloads: html-family
+    docs render as one-page PDFs (corpus.render_pdf — FlateDecode
+    streams on even ids, raw on odd; explicit Tm positioning, UTF-16BE
+    hex strings for non-ASCII words) and the content-stream parser
+    (extract/pdf.py) must recover byte-identical text via the
+    y-then-x reading order.  Layout rows stay JSON, so the oracle is
+    again exactly extract_text's."""
+    from .corpus import build_web_pages
+    from .extract import extract_pages
+
+    pages = build_web_pages(
+        spark, sf_dir,
+        partitions=spark.sparkContext.defaultParallelism * 2,
+        pdf_mix=True,
+    )
+    return extract_pages(pages).select("url", "text")
+
+
 def _pages_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate-shared raw pages frame (the meta queries reuse one build)."""
     from .corpus import build_web_pages
@@ -729,7 +755,8 @@ ORACLES["interpret_full"] = queries_cascade.INTERPRET_FULL_ORACLE
 # and the hierarchical-JPEG pair (image_autocrop_jpeg_hier, _hier_ll)
 # and the charset-mix extraction twin (extract_text_charsets) and the
 # head-metadata family (html_meta, noindex_filter, outlinks,
-# canonical_dedup, crawl_frontier).
+# canonical_dedup, crawl_frontier) and the PDF-payload extraction twin
+# (extract_text_pdf).
 # Swap them over the canary block (slots 3-12) once CORRECTNESS_r05
 # settles the driver-env dispute.
 # ---------------------------------------------------------------------------
