@@ -51,7 +51,9 @@ def _streams_of(data: bytes) -> list[bytes]:
         if end < 0:
             continue
         head = data[max(0, data.rfind(b"obj", 0, m.start())) : m.start()]
-        lm = re.search(rb"/Length\s+(\d+)", head)
+        # direct /Length only — '/Length 5 0 R' (indirect reference, the
+        # form most real writers emit) must NOT match its object number
+        lm = re.search(rb"/Length\s+(\d+)(?![\s]+\d+[\s]+R)", head)
         if lm:
             # the dict's byte count is authoritative — compressed data
             # may itself end in CR/LF bytes, so EOL-stripping heuristics
@@ -169,6 +171,12 @@ def _parse_content(stream: bytes) -> list[tuple[float, float, str]]:
             stack.append(_decode_pdf_string(stream[i + 1 : j], True))
             i = j + 1
             continue
+        if stream[i : i + 2] in (b"<<", b">>"):  # inline dict delimiters
+            i += 2  # operands of BDC/DP etc. — consumed with the operator
+            continue
+        if c in b"<>)":  # stray delimiter: never stall the scanner
+            i += 1
+            continue
         if c in b"[]":
             stack.append(b"[" if c == 0x5B else b"]")
             i += 1
@@ -189,6 +197,9 @@ def _parse_content(stream: bytes) -> list[tuple[float, float, str]]:
         j = i
         while j < n and stream[j] not in _WS and stream[j] not in b"/[]<>(":
             j += 1
+        if j == i:  # delimiter byte that matched no rule above
+            i += 1
+            continue
         op = stream[i:j]
         i = j
         if op == b"Tf" and len(stack) >= 2:

@@ -47,7 +47,7 @@ from __future__ import annotations
 
 import base64
 import hashlib
-import io
+import os
 import zlib
 from collections.abc import Iterator
 from datetime import datetime, timezone
@@ -113,7 +113,12 @@ def _warc_date(ts: datetime | None) -> str:
         ts = datetime(1970, 1, 1, tzinfo=timezone.utc)
     if ts.tzinfo is None:
         ts = ts.replace(tzinfo=timezone.utc)
-    return ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    ts = ts.astimezone(timezone.utc)
+    if ts.microsecond:
+        # WARC 1.1 fractional form — whole seconds must not round-trip
+        # lossily through the archive (writer index == reader scan)
+        return ts.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
 def _record_id(url: str, date: str) -> str:
@@ -192,6 +197,60 @@ def _mime_of(html: bytes) -> str:
     return "application/json" if html[:1] == b"{" else "text/html; charset=UTF-8"
 
 
+def _index_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
+            pa.field("mime", pa.string()),
+            pa.field("http_status", pa.int32()),
+            pa.field("payload_digest", pa.string()),
+            pa.field("payload_len", pa.int64()),
+            pa.field("warc_file", pa.string()),
+            pa.field("rec_offset", pa.int64()),
+            pa.field("rec_length", pa.int64()),
+        ]
+    )
+
+
+def _archive_writer(it, out_dir: str, ext: str, compress: bool, records_of):
+    """Shared writer scaffold for WARC/WET sinks: one file per partition
+    (warcinfo first, one gzip member per record when compressed), index
+    rows accumulated per the WARC_INDEX schema.
+
+    ``records_of(batch)`` yields ``(url, ts, mime, status, digest,
+    payload_len, record_bytes)`` per record."""
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    pid = TaskContext.get().partitionId()
+    fname = f"part-{pid:05d}{ext}"
+    path = os.path.join(out_dir, fname)
+    os.makedirs(out_dir, exist_ok=True)
+    rows: dict[str, list] = {f.name: [] for f in WARC_INDEX.fields}
+    with open(path, "wb") as f:
+        info = _warcinfo(fname)
+        f.write(_gzip_member(info) if compress else info)
+        pos = f.tell()
+        for batch in it:
+            for url, ts, mime, status, digest, plen, rec in records_of(batch):
+                out = _gzip_member(rec) if compress else rec
+                f.write(out)
+                rows["url"].append(url)
+                rows["warc_ts"].append(ts)
+                rows["mime"].append(mime)
+                rows["http_status"].append(status)
+                rows["payload_digest"].append(digest)
+                rows["payload_len"].append(plen)
+                rows["warc_file"].append(path)
+                rows["rec_offset"].append(pos)
+                rows["rec_length"].append(len(out))
+                pos += len(out)
+    yield pa.RecordBatch.from_pydict(rows, schema=_index_arrow_schema())
+
+
 def write_warc(
     pages: DataFrame,
     out_dir: str,
@@ -211,76 +270,39 @@ def write_warc(
     gzip-encoded (both legal as-crawled forms) so a round trip proves the
     reader's HTTP decoding, not just the happy path.
     """
-    import os
-
     ext = ".warc.gz" if compress else ".warc"
 
-    def gen(it):
-        import pyarrow as pa
-        from pyspark import TaskContext
+    def records_of(batch):
+        urls = batch.column("url").to_pylist()
+        tss = batch.column("warc_ts").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        for url, ts, html in zip(urls, tss, htmls):
+            body = bytes(html) if html is not None else b""
+            mime = _mime_of(body)
+            n = sum(ord(c) for c in url)
+            http = _http_response(
+                body,
+                mime,
+                chunked=exercise_http_codings and n % 11 == 3,
+                gzipped=exercise_http_codings and n % 11 != 3 and n % 13 == 5,
+            )
+            date = _warc_date(ts)
+            digest = sha1_b32(body)
+            rec = _warc_record(
+                "response",
+                [
+                    ("WARC-Record-ID", _record_id(url, date)),
+                    ("WARC-Date", date),
+                    ("WARC-Target-URI", url),
+                    ("WARC-Payload-Digest", digest),
+                    ("Content-Type", "application/http; msgtype=response"),
+                ],
+                http,
+            )
+            yield url, ts, mime.split(";")[0], 200, digest, len(body), rec
 
-        pid = TaskContext.get().partitionId()
-        fname = f"part-{pid:05d}{ext}"
-        path = os.path.join(out_dir, fname)
-        os.makedirs(out_dir, exist_ok=True)
-        rows: dict[str, list] = {f.name: [] for f in WARC_INDEX.fields}
-        with open(path, "wb") as f:
-            info = _warcinfo(fname)
-            f.write(_gzip_member(info) if compress else info)
-            pos = f.tell()
-            for batch in it:
-                urls = batch.column("url").to_pylist()
-                tss = batch.column("warc_ts").to_pylist()
-                htmls = batch.column("html").to_pylist()
-                for url, ts, html in zip(urls, tss, htmls):
-                    body = bytes(html) if html is not None else b""
-                    mime = _mime_of(body)
-                    n = sum(ord(c) for c in url)
-                    http = _http_response(
-                        body,
-                        mime,
-                        chunked=exercise_http_codings and n % 11 == 3,
-                        gzipped=exercise_http_codings and n % 11 != 3 and n % 13 == 5,
-                    )
-                    date = _warc_date(ts)
-                    digest = sha1_b32(body)
-                    rec = _warc_record(
-                        "response",
-                        [
-                            ("WARC-Record-ID", _record_id(url, date)),
-                            ("WARC-Date", date),
-                            ("WARC-Target-URI", url),
-                            ("WARC-Payload-Digest", digest),
-                            ("Content-Type", "application/http; msgtype=response"),
-                        ],
-                        http,
-                    )
-                    out = _gzip_member(rec) if compress else rec
-                    f.write(out)
-                    rows["url"].append(url)
-                    rows["warc_ts"].append(ts)
-                    rows["mime"].append(mime.split(";")[0])
-                    rows["http_status"].append(200)
-                    rows["payload_digest"].append(digest)
-                    rows["payload_len"].append(len(body))
-                    rows["warc_file"].append(path)
-                    rows["rec_offset"].append(pos)
-                    rows["rec_length"].append(len(out))
-                    pos += len(out)
-        schema = pa.schema(
-            [
-                pa.field("url", pa.string()),
-                pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
-                pa.field("mime", pa.string()),
-                pa.field("http_status", pa.int32()),
-                pa.field("payload_digest", pa.string()),
-                pa.field("payload_len", pa.int64()),
-                pa.field("warc_file", pa.string()),
-                pa.field("rec_offset", pa.int64()),
-                pa.field("rec_length", pa.int64()),
-            ]
-        )
-        yield pa.RecordBatch.from_pydict(rows, schema=schema)
+    def gen(it):
+        yield from _archive_writer(it, out_dir, ext, compress, records_of)
 
     return pages.mapInArrow(gen, schema=WARC_INDEX)
 
@@ -377,9 +399,10 @@ def _parse_http_response(payload: bytes) -> tuple[int, str | None, bytes]:
         k, _, v = line.partition(":")
         hdrs[k.strip().lower()] = v.strip()
     body = payload[sep + 4 :]
-    if "content-length" in hdrs and "chunked" not in hdrs.get("transfer-encoding", ""):
+    chunked = "chunked" in hdrs.get("transfer-encoding", "").lower()
+    if "content-length" in hdrs and not chunked:
         body = body[: int(hdrs["content-length"])]
-    if "chunked" in hdrs.get("transfer-encoding", "").lower():
+    if chunked:
         body = _dechunk(body)
     if hdrs.get("content-encoding", "").lower() == "gzip":
         body = zlib.decompress(body, 16 + zlib.MAX_WBITS)
@@ -392,7 +415,8 @@ def _parse_http_response(payload: bytes) -> tuple[int, str | None, bytes]:
 def _parse_warc_ts(s: str | None) -> datetime | None:
     if not s:
         return None
-    return datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ").replace(tzinfo=timezone.utc)
+    fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in s else "%Y-%m-%dT%H:%M:%SZ"
+    return datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
 
 
 def _open(path: str):
@@ -543,80 +567,48 @@ def warc_pages(records: DataFrame) -> DataFrame:
 def write_wet(extracted: DataFrame, out_dir: str, *, compress: bool = True) -> DataFrame:
     """EXTRACT_RESULT-shaped frame (url, warc_ts, lang, text) → WET files;
     returns the written index (payload digests over the UTF-8 text)."""
-    import os
-
     ext = ".warc.wet.gz" if compress else ".warc.wet"
 
-    def gen(it):
-        import pyarrow as pa
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        fname = f"part-{pid:05d}{ext}"
-        path = os.path.join(out_dir, fname)
-        os.makedirs(out_dir, exist_ok=True)
-        rows: dict[str, list] = {
-            "url": [], "warc_ts": [], "mime": [], "http_status": [],
-            "payload_digest": [], "payload_len": [], "warc_file": [],
-            "rec_offset": [], "rec_length": [],
-        }
-        with open(path, "wb") as f:
-            info = _warcinfo(fname)
-            f.write(_gzip_member(info) if compress else info)
-            pos = f.tell()
-            for batch in it:
-                urls = batch.column("url").to_pylist()
-                tss = batch.column("warc_ts").to_pylist()
-                langs = batch.column("lang").to_pylist()
-                texts = batch.column("text").to_pylist()
-                for url, ts, lang, text in zip(urls, tss, langs, texts):
-                    body = (text or "").encode("utf-8")
-                    date = _warc_date(ts)
-                    digest = sha1_b32(body)
-                    hdrs = [
-                        ("WARC-Record-ID", _record_id(url, date)),
-                        ("WARC-Date", date),
-                        ("WARC-Target-URI", url),
-                        ("WARC-Payload-Digest", digest),
-                        ("Content-Type", "text/plain"),
-                    ]
-                    if lang:
-                        hdrs.append(("WARC-Identified-Content-Language", lang))
-                    rec = _warc_record("conversion", hdrs, body)
-                    out = _gzip_member(rec) if compress else rec
-                    f.write(out)
-                    rows["url"].append(url)
-                    rows["warc_ts"].append(ts)
-                    rows["mime"].append("text/plain")
-                    rows["http_status"].append(None)
-                    rows["payload_digest"].append(digest)
-                    rows["payload_len"].append(len(body))
-                    rows["warc_file"].append(path)
-                    rows["rec_offset"].append(pos)
-                    rows["rec_length"].append(len(out))
-                    pos += len(out)
-        schema = pa.schema(
-            [
-                pa.field("url", pa.string()),
-                pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
-                pa.field("mime", pa.string()),
-                pa.field("http_status", pa.int32()),
-                pa.field("payload_digest", pa.string()),
-                pa.field("payload_len", pa.int64()),
-                pa.field("warc_file", pa.string()),
-                pa.field("rec_offset", pa.int64()),
-                pa.field("rec_length", pa.int64()),
+    def records_of(batch):
+        urls = batch.column("url").to_pylist()
+        tss = batch.column("warc_ts").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        texts = batch.column("text").to_pylist()
+        for url, ts, lang, text in zip(urls, tss, langs, texts):
+            body = (text or "").encode("utf-8")
+            date = _warc_date(ts)
+            digest = sha1_b32(body)
+            hdrs = [
+                ("WARC-Record-ID", _record_id(url, date)),
+                ("WARC-Date", date),
+                ("WARC-Target-URI", url),
+                ("WARC-Payload-Digest", digest),
+                ("Content-Type", "text/plain"),
             ]
-        )
-        yield pa.RecordBatch.from_pydict(rows, schema=schema)
+            if lang:
+                hdrs.append(("WARC-Identified-Content-Language", lang))
+            rec = _warc_record("conversion", hdrs, body)
+            yield url, ts, "text/plain", None, digest, len(body), rec
+
+    def gen(it):
+        yield from _archive_writer(it, out_dir, ext, compress, records_of)
 
     return extracted.select("url", "warc_ts", "lang", "text").mapInArrow(
         gen, schema=WARC_INDEX
     )
 
 
+_WET_ARROW_FIELDS = [
+    ("url", "string"),
+    ("warc_ts", "ts"),
+    ("lang", "string"),
+    ("text", "string"),
+]
+
+
 def read_wet(spark: SparkSession, paths: list[str] | DataFrame) -> DataFrame:
-    """WET paths → (url, warc_ts, lang, text)."""
+    """WET paths → (url, warc_ts, lang, text); byte-bounded batches like
+    read_warc (a 1 GB archive must never materialize as ONE batch)."""
 
     def gen(it):
         import pyarrow as pa
@@ -629,16 +621,24 @@ def read_wet(spark: SparkSession, paths: list[str] | DataFrame) -> DataFrame:
                 pa.field("text", pa.string()),
             ]
         )
+        batch_bytes = 32 << 20
         for batch in it:
             for path in batch.column("path").to_pylist():
-                cols: dict[str, list] = {"url": [], "warc_ts": [], "lang": [], "text": []}
+                cols: dict[str, list] = {n: [] for n, _ in _WET_ARROW_FIELDS}
+                budget = 0
                 for r in _records_of_file(path):
                     if r["rec_type"] != "conversion":
                         continue
                     cols["url"].append(r["url"])
                     cols["warc_ts"].append(r["warc_ts"])
                     cols["lang"].append(r["lang"])
-                    cols["text"].append(r["html"].decode("utf-8"))
+                    text = r["html"].decode("utf-8")
+                    cols["text"].append(text)
+                    budget += len(text) + 128
+                    if budget >= batch_bytes:
+                        yield pa.RecordBatch.from_pydict(cols, schema=schema)
+                        cols = {n: [] for n, _ in _WET_ARROW_FIELDS}
+                        budget = 0
                 if cols["url"]:
                     yield pa.RecordBatch.from_pydict(cols, schema=schema)
 
@@ -724,7 +724,10 @@ def fetch_records(spark: SparkSession, index: DataFrame) -> DataFrame:
                 for path, ranges in sorted(by_file.items()):
                     compressed = path.endswith(".gz")
                     with _open(path) as f:
-                        for off, n in sorted(ranges):
+                        # dedupe: index rows of a multi-record member
+                        # share one (offset, length) — read it ONCE
+                        # (fetch granularity is the member, like a CDX)
+                        for off, n in sorted(set(ranges)):
                             f.seek(off)
                             raw = f.read(n)
                             if compressed:

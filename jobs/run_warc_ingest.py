@@ -58,6 +58,12 @@ def main() -> int:
     else:
         paths = W.list_warc_paths(spark, args.warc_dir)
     records = W.read_warc(spark, paths)
+    n_outputs = sum(map(bool, (args.pages, args.cdx, args.extract_to)))
+    if n_outputs > 1:
+        # each output below is its own action: without a persist every
+        # one re-streams and re-gunzips every archive (at CC scale that
+        # is tens of TB of repeated I/O)
+        records = records.persist()
     pages = W.warc_pages(records)
 
     if args.pages:
@@ -84,6 +90,8 @@ def main() -> int:
         if args.wet_dir:
             wet = results.select("url", "warc_ts", "lang", "text")
             W.write_wet(wet, args.wet_dir).count()
+    if n_outputs > 1:
+        records.unpersist()
     return 0
 
 

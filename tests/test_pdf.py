@@ -90,3 +90,24 @@ def test_pdf_gate_query(spark):
         for r in QUERIES["extract_text"](spark, sf).collect()
     }
     assert a == b
+
+
+def test_inline_dict_does_not_hang_or_show():
+    # marked-content dicts (every tagged PDF): scanner must both make
+    # progress and not emit the dict's string operands as shows
+    shows = _parse_content(
+        b"BT /Span << /ActualText (hidden) >> BDC (visible) Tj EMC ET"
+    )
+    assert [s for _x, _y, s in shows] == ["visible"]
+
+
+def test_indirect_length_falls_back_to_heuristic():
+    from dpo_ocr_spark.extract.pdf import _streams_of
+
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 2 0 R >>\nstream\n"
+        b"BT (ok) Tj ET\nendstream\nendobj\n2 0 obj\n13\nendobj\n"
+    )
+    assert _streams_of(pdf) == [b"BT (ok) Tj ET"]
+    text, *_ = extract_pdf(pdf)
+    assert text == "ok"

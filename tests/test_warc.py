@@ -271,3 +271,53 @@ def test_warc_ingest_job_end_to_end(tmp_path, spark, warc_dir):
         spark, W.list_warc_paths(spark, wet_t, suffix=".warc.wet.gz")
     )
     assert wet.count() == 500
+
+
+def test_warc_date_microseconds_roundtrip():
+    from datetime import datetime, timezone
+
+    ts = datetime(2024, 3, 1, 10, 20, 30, 123456, tzinfo=timezone.utc)
+    s = W._warc_date(ts)
+    assert s == "2024-03-01T10:20:30.123456Z"
+    assert W._parse_warc_ts(s) == ts
+    whole = ts.replace(microsecond=0)
+    assert W._warc_date(whole) == "2024-03-01T10:20:30Z"
+    assert W._parse_warc_ts("2024-03-01T10:20:30Z") == whole
+
+
+def test_capitalized_chunked_header():
+    body = b"<html>y</html>" * 30
+    resp = W._http_response(body, "text/html", chunked=True)
+    # capitalize the header value the way some real servers emit it, and
+    # add a Content-Length of the DECODED size (must not pre-truncate)
+    resp = resp.replace(b"Transfer-Encoding: chunked",
+                        b"Transfer-Encoding: Chunked\r\n"
+                        + b"Content-Length: " + str(len(body)).encode())
+    status, mime, got = W._parse_http_response(resp)
+    assert (status, got) == (200, body)
+
+
+def test_fetch_records_multi_record_member_no_duplicates(spark, tmp_path):
+    recs = b"".join(
+        W._warc_record(
+            "response",
+            [
+                ("WARC-Record-ID", f"<urn:uuid:{i}>"),
+                ("WARC-Date", "2024-01-01T00:00:00Z"),
+                ("WARC-Target-URI", f"https://m.example.org/{i}"),
+                ("Content-Type", "application/http; msgtype=response"),
+            ],
+            W._http_response(f"body{i}".encode(), "text/html"),
+        )
+        for i in range(3)
+    )
+    path = str(tmp_path / "multi2.warc.gz")
+    with open(path, "wb") as f:
+        f.write(W._warc_member_bytes(recs) if hasattr(W, "_warc_member_bytes")
+                else W._gzip_member(recs))
+    idx = W.read_warc(spark, [path]).select(
+        "warc_file", "rec_offset", "rec_length"
+    )
+    # all 3 index rows share one member; the refetch must read it once
+    got = W.fetch_records(spark, idx).collect()
+    assert sorted(r["url"][-1] for r in got) == ["0", "1", "2"]
