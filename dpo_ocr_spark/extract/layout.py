@@ -18,28 +18,25 @@ its span.
 from __future__ import annotations
 
 import json
+from bisect import bisect_right
 
 
 def extract_layout(payload: bytes) -> tuple[str, list[tuple], list[tuple]]:
     """bytes → (text, tokens, blocks); tuple layout matches TOKEN/BLOCK."""
     doc = json.loads(payload.decode("utf-8"))
     text: str = doc["text"]
-    # Precompute char-offset → line index (count of '\n' before offset).
+    # Precompute char-offset → line index (count of '\n' before offset):
+    # C-level str.find scan instead of a per-char Python loop.
     line_starts = [0]
-    for i, ch in enumerate(text):
-        if ch == "\n":
-            line_starts.append(i + 1)
+    nl = text.find("\n")
+    while nl != -1:
+        line_starts.append(nl + 1)
+        nl = text.find("\n", nl + 1)
 
     def line_of(offset: int) -> int:
-        # binary search over line starts (monotone, like the reference scan)
-        lo, hi = 0, len(line_starts) - 1
-        while lo < hi:
-            mid = (lo + hi + 1) // 2
-            if line_starts[mid] <= offset:
-                lo = mid
-            else:
-                hi = mid - 1
-        return lo
+        # bisect over monotone line starts (same result as the reference
+        # scan, C implementation instead of a Python binary-search loop)
+        return bisect_right(line_starts, offset) - 1
 
     tokens: list[tuple] = []
     blocks: list[tuple] = []

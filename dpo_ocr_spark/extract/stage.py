@@ -24,6 +24,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from ..nogc import nogc_batches
 from ..schemas import EXTRACT_RESULT
 from .html import extract_html
 from .layout import extract_layout
@@ -57,6 +58,7 @@ def _extract_one(payload: bytes | None, pre_text: str | None):
         return "error", None, [], [], len(payload)
 
 
+@nogc_batches
 def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         kinds, texts, toks, blks, nbytes, ntoks = [], [], [], [], [], []

@@ -27,6 +27,7 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame
 
+from ..nogc import nogc_batches
 from ..schemas import EXTRACT_RESULT
 from .stage import _extract_one
 
@@ -96,6 +97,7 @@ def _nested_list_array(
     return pa.ListArray.from_arrays(pa.array(offsets, _INT32), struct)
 
 
+@nogc_batches
 def _extract_batches_arrow(
     it: Iterator[pa.RecordBatch],
 ) -> Iterator[pa.RecordBatch]:
@@ -108,8 +110,8 @@ def _extract_batches_arrow(
         ntoks: list[int] = []
         tok_off = [0]
         blk_off = [0]
-        tok_cols: list[list] = [[] for _ in range(10)]
-        blk_cols: list[list] = [[] for _ in range(4)]
+        tok_rows: list[tuple] = []
+        blk_rows: list[tuple] = []
         for payload, pre in zip(htmls, pres):
             kind, text, tokens, blocks, nb = _extract_one(payload, pre)
             kinds.append(kind)
@@ -119,11 +121,13 @@ def _extract_batches_arrow(
             tok_off.append(tok_off[-1] + len(tokens))
             blk_off.append(blk_off[-1] + len(blocks))
             if tokens:
-                for col, vals in zip(tok_cols, zip(*tokens)):
-                    col.extend(vals)
+                tok_rows.extend(tokens)
             if blocks:
-                for col, vals in zip(blk_cols, zip(*blocks)):
-                    col.extend(vals)
+                blk_rows.extend(blocks)
+        # ONE C-level transpose per batch (a per-doc zip(*tokens) +
+        # 10 list.extend calls was ~10% of the stage)
+        tok_cols = list(zip(*tok_rows)) if tok_rows else [[]] * 10
+        blk_cols = list(zip(*blk_rows)) if blk_rows else [[]] * 4
         yield pa.RecordBatch.from_arrays(
             [
                 batch.column("url"),

@@ -26,6 +26,8 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..nogc import nogc_batches
+
 SHINGLE_K = 3  # words per shingle
 MINHASH_K = 12  # signature length
 LSH_BANDS = 4  # → rows per band = MINHASH_K / LSH_BANDS
@@ -137,6 +139,7 @@ def shingle_frame_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WS_ASCII = None  # lazy: compiled on first executor use
 
 
+@nogc_batches
 def _shingle_batches(it):
     """Arrow shingle kernel — hot path. Python ASCII-\\s regex + slicing
     replicates the SQL definition exactly (equivalence pinned by
@@ -180,6 +183,53 @@ def shingles_of(docs: DataFrame) -> DataFrame:
 
 def shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingles_of(_docs(spark, sf_dir))
+
+
+@nogc_batches
+def _sized_shingle_batches(it):
+    """Shingle kernel variant that also emits each document's distinct-
+    shingle count ``n`` on every row.  Carrying the size through the
+    inverted-index bucket join lets the Jaccard pipeline run as ONE
+    consumption chain — the (sizes ⋈ pairs ⋈ sizes) form re-executed the
+    shingle kernel (and its scan) three times, once per join side
+    (guide §2.4: share one exchange instead of recomputing)."""
+    import re
+
+    import pyarrow as pa
+
+    global _WS_ASCII
+    if _WS_ASCII is None:
+        _WS_ASCII = re.compile(r"\s+", re.ASCII)
+    for batch in it:
+        ids: list[int] = []
+        shingles: list[str] = []
+        ns: list[int] = []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            words = _WS_ASCII.sub(" ", (text or "").lower()).split(" ")
+            n = max(len(words) - (SHINGLE_K - 1), 1)
+            uniq = dict.fromkeys(
+                " ".join(words[i : i + SHINGLE_K]) for i in range(n)
+            )
+            ids.extend([doc_id] * len(uniq))
+            shingles.extend(uniq)
+            ns.extend([len(uniq)] * len(uniq))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(shingles, pa.string()),
+                pa.array(ns, pa.int64()),
+            ],
+            names=["doc_id", "shingle", "n"],
+        )
+
+
+def sized_shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle, n) with n = the doc's distinct-shingle count."""
+    return docs.select("doc_id", "text").mapInArrow(
+        _sized_shingle_batches, schema="doc_id long, shingle string, n long"
+    )
 
 
 SUBSTR_K = 8  # tokens per window for exact-substring duplicate spans
@@ -286,8 +336,51 @@ def ngram_jaccard_pairs(
     threshold_x1000: int = 300,
     max_df: int = MAX_GROUP,
 ) -> DataFrame:
-    return ngram_jaccard_from_shingles(
-        shingle_frame(spark, sf_dir), threshold_x1000, max_df
+    return ngram_jaccard_from_sized_shingles(
+        sized_shingles_of(_docs(spark, sf_dir)), threshold_x1000, max_df
+    )
+
+
+def ngram_jaccard_from_sized_shingles(
+    sh: DataFrame, threshold_x1000: int = 300, max_df: int = MAX_GROUP
+) -> DataFrame:
+    """Single-consumption Jaccard pipeline over a (doc_id, shingle, n)
+    frame: the doc sizes ride inside the bucket structs, so the plan is
+    scan → kernel → groupBy(shingle) → pair fan-out → groupBy(pair) —
+    two shuffles, ONE kernel execution.  Row-identical to
+    ``ngram_jaccard_from_shingles`` (pinned by a pytest); that three-join
+    form re-ran the shingle kernel and its scan once per join side."""
+    inter = (
+        _capped_groups(
+            sh.groupBy("shingle").agg(
+                F.sort_array(
+                    F.collect_list(F.struct("doc_id", "n"))
+                ).alias("ids")
+            ),
+            "ngram_jaccard",
+            max_df,
+        )
+        .select(F.explode(_pair_combos("ids")).alias("p"))
+        .groupBy(
+            F.col("p.doc_a.doc_id").alias("doc_a"),
+            F.col("p.doc_b.doc_id").alias("doc_b"),
+            F.col("p.doc_a.n").alias("n_a"),
+            F.col("p.doc_b.n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+            F.floor(
+                F.col("n_inter") * 1000
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).cast("long").alias("jaccard_x1000"),
+        )
+        .filter(F.col("jaccard_x1000") >= threshold_x1000)
     )
 
 
@@ -361,8 +454,68 @@ def minhash_of(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*_minhash_cols())
 
 
+@nogc_batches
+def _signature_batches(it):
+    """Whole-signature Arrow kernel: shingle → md5-base → k universal
+    hashes → per-doc min, all inside one Python pass (one md5 per
+    shingle via hashlib, the k derivations + min as two vectorized numpy
+    ops).  Replaces the (doc_id, shingle)-explode + groupBy(doc_id) form
+    whose JVM aggregate evaluated ``md5(shingle)`` once per hash
+    function (k=12 md5s per shingle — codegen does not CSE across
+    aggregate expressions, visible in the r6 before-plan) and shuffled
+    every shingle string.  Row-identical to
+    ``minhash_of(shingles_of(docs))`` (pinned by a pytest)."""
+    import re
+    from hashlib import md5
+
+    import numpy as np
+    import pyarrow as pa
+
+    global _WS_ASCII
+    if _WS_ASCII is None:
+        _WS_ASCII = re.compile(r"\s+", re.ASCII)
+    # h_i = (base * (2i+3) + 7i+1) mod M31 — the _minhash_cols contract
+    A = np.arange(MINHASH_K, dtype=np.int64) * 2 + 3
+    B = np.arange(MINHASH_K, dtype=np.int64) * 7 + 1
+    for batch in it:
+        doc_ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        bases: list[int] = []
+        offsets = [0]
+        for text in texts:
+            words = _WS_ASCII.sub(" ", (text or "").lower()).split(" ")
+            n = max(len(words) - (SHINGLE_K - 1), 1)
+            uniq = dict.fromkeys(
+                " ".join(words[i : i + SHINGLE_K]) for i in range(n)
+            )
+            bases.extend(
+                int(md5(s.encode("utf-8")).hexdigest()[:15], 16) % _MERSENNE31
+                for s in uniq
+            )
+            offsets.append(len(bases))
+        if not doc_ids:
+            continue
+        base_arr = np.array(bases, dtype=np.int64)
+        h = (base_arr[:, None] * A[None, :] + B[None, :]) % _MERSENNE31
+        # per-doc minimum over each doc's contiguous base rows (every doc
+        # has ≥1 shingle, so the reduceat segments are all non-empty)
+        mins = np.minimum.reduceat(h, np.array(offsets[:-1]), axis=0)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(doc_ids, pa.int64())]
+            + [pa.array(mins[:, i]) for i in range(MINHASH_K)],
+            names=["doc_id"] + [f"mh_{i}" for i in range(MINHASH_K)],
+        )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_of(shingle_frame(spark, sf_dir))
+    schema = "doc_id long, " + ", ".join(
+        f"mh_{i} long" for i in range(MINHASH_K)
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInArrow(_signature_batches, schema=schema)
+    )
 
 
 def minhash_lsh_pairs(
@@ -581,13 +734,15 @@ def embedding_neardup_lsh(
     groupBy(tbl, bucket) shuffle with the hot-bucket cap
     (drop_stats('embedding_neardup')), in-array pair fan-out, then two
     hash joins on vec_id to fetch vectors — NEVER an O(n²) self-join."""
-    from .similarity import _all_buckets_udf
+    from .similarity import _all_buckets_udf, embedding_dims
 
     emb = _quantized(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    first = emb.select("q").first()  # driver-side metadata lookup
-    if first is None:  # empty table -> empty pair frame, no crash
-        return spark.createDataFrame([], "vec_a long, vec_b long")
-    dims = len(first.q)
+    dims = embedding_dims(sf_dir)  # parquet-footer peek, no Spark job
+    if dims is None:
+        first = emb.select("q").first()  # non-local storage fallback
+        if first is None:  # empty table -> empty pair frame, no crash
+            return spark.createDataFrame([], "vec_a long, vec_b long")
+        dims = len(first.q)
     tabbed = emb.select(
         "vec_id",
         F.posexplode(_all_buckets_udf(dims)("q")).alias("tbl", "bucket"),

@@ -36,6 +36,27 @@ LSH_PLANES = 4  # 2^4 buckets per table
 MULTIPROBE_RADIUS = 1
 
 
+def embedding_dims(sf_dir: str) -> int | None:
+    """Embedding dimensionality from the local parquet footer (one-row
+    peek, no Spark job).  The previous ``emb.select("q").first()`` ran a
+    full scan job per query call just to size the hyperplane matrix —
+    a driver-side metadata question (guide §5: the driver should do no
+    data work, but metadata lookups belong there, not in a job).
+    Returns None when the file is absent/empty/non-local — callers fall
+    back to the ``first()`` job."""
+    try:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+        if batch.num_rows == 0:
+            return None
+        vec = batch.column(0)[0].as_py()
+        return len(vec) if vec is not None else None
+    except Exception:
+        return None
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..scale import ensure_parallelism
 
@@ -265,12 +286,14 @@ def lsh_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     """Multi-table bucketed ANN: candidates = union over tables of
     same-bucket rows, exact cosine re-rank within candidates."""
     emb = _emb(spark, sf_dir)
-    first = emb.select("q").first()  # metadata lookup, driver-side
-    if first is None:  # empty table -> empty result, no crash
-        return spark.createDataFrame(
-            [], "query_id long, cand_id long, cos_r6 double"
-        )
-    dims = len(first.q)
+    dims = embedding_dims(sf_dir)
+    if dims is None:  # non-local/odd storage: fall back to a scan job
+        first = emb.select("q").first()
+        if first is None:  # empty table -> empty result, no crash
+            return spark.createDataFrame(
+                [], "query_id long, cand_id long, cos_r6 double"
+            )
+        dims = len(first.q)
     # all table buckets in ONE pass over one scan (an 8-way union re-read
     # the parquet 8× — measured), then posexplode to (tbl, bucket) rows
     tabbed = emb.select(

@@ -27,7 +27,9 @@ def run_extraction(
     build_web_pages) so generation and decode pipeline together across all
     cores with no shuffle in between."""
     if salt_partitions is None:
-        salt_partitions = spark.sparkContext.defaultParallelism * 2
+        from .scale import decode_partitions
+
+        salt_partitions = decode_partitions(spark, sf_dir)
     pages = build_web_pages(spark, sf_dir, partitions=salt_partitions)
     return extract_pages(pages)
 

@@ -166,10 +166,11 @@ def q_extract_text_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload BYTES, never the expected text."""
     from .corpus import build_web_pages
     from .extract import extract_pages
+    from .scale import decode_partitions
 
     pages = build_web_pages(
         spark, sf_dir,
-        partitions=spark.sparkContext.defaultParallelism * 2,
+        partitions=decode_partitions(spark, sf_dir),
         charset_mix=True,
     )
     return extract_pages(pages).select("url", "text")
@@ -192,10 +193,11 @@ def q_extract_text_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     again exactly extract_text's."""
     from .corpus import build_web_pages
     from .extract import extract_pages
+    from .scale import decode_partitions
 
     pages = build_web_pages(
         spark, sf_dir,
-        partitions=spark.sparkContext.defaultParallelism * 2,
+        partitions=decode_partitions(spark, sf_dir),
         pdf_mix=True,
     )
     return extract_pages(pages).select("url", "text")
@@ -204,6 +206,7 @@ def q_extract_text_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pages_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate-shared raw pages frame (the meta queries reuse one build)."""
     from .corpus import build_web_pages
+    from .scale import decode_partitions
     from .stagecache import shared
 
     return shared(
@@ -211,7 +214,7 @@ def _pages_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"pages:{sf_dir}",
         lambda: build_web_pages(
             spark, sf_dir,
-            partitions=spark.sparkContext.defaultParallelism * 2,
+            partitions=decode_partitions(spark, sf_dir),
         ),
     )
 

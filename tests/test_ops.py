@@ -122,6 +122,47 @@ def test_shingle_kernel_equivalence(spark):
     assert py_rows == sql_rows
 
 
+def test_signature_kernel_equivalence(spark):
+    """The whole-signature Arrow kernel (one md5/shingle + numpy min)
+    is row-identical to the SQL reference minhash_of(shingles_of(docs))
+    — the r6 optimization moved the k-hash derivation into the kernel
+    so the JVM no longer computes k md5s per shingle nor shuffles the
+    shingle strings."""
+    from dpo_ocr_spark.ops import dedup as D
+
+    sql_rows = sorted(
+        map(tuple, D.minhash_of(D.shingle_frame(spark, SD)).collect())
+    )
+    py_rows = sorted(map(tuple, D.minhash_signatures(spark, SD).collect()))
+    assert py_rows == sql_rows
+
+
+def test_sized_jaccard_equivalence(spark):
+    """The single-consumption Jaccard pipeline (sizes carried through
+    the bucket structs) is row-identical to the three-join reference
+    form at threshold 0 (every candidate pair surfaces)."""
+    from dpo_ocr_spark.ops import dedup as D
+
+    docs = D._docs(spark, SD)
+    ref = sorted(
+        map(
+            tuple,
+            D.ngram_jaccard_from_shingles(
+                D.shingles_of(docs), threshold_x1000=0
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            D.ngram_jaccard_from_sized_shingles(
+                D.sized_shingles_of(docs), threshold_x1000=0
+            ).collect(),
+        )
+    )
+    assert got == ref
+
+
 def test_ivf_recall_vs_brute_force(spark):
     """IVF probes nprobe/cells of the corpus; on these near-uniform
     embeddings recall ≈ fraction probed (measured 0.56 at 4/16) — the
