@@ -110,8 +110,12 @@ def _extract_batches_arrow(
         ntoks: list[int] = []
         tok_off = [0]
         blk_off = [0]
-        tok_rows: list[tuple] = []
-        blk_rows: list[tuple] = []
+        # per-doc zip(*tokens) + extend is the measured-fastest transpose
+        # (83 ms/corpus vs 459 ms for one zip(*all_rows) — zip with 270k
+        # iterator arguments round-robins them per output column — and
+        # 101 ms for per-column list comprehensions)
+        tok_cols: list[list] = [[] for _ in range(10)]
+        blk_cols: list[list] = [[] for _ in range(4)]
         for payload, pre in zip(htmls, pres):
             kind, text, tokens, blocks, nb = _extract_one(payload, pre)
             kinds.append(kind)
@@ -121,13 +125,11 @@ def _extract_batches_arrow(
             tok_off.append(tok_off[-1] + len(tokens))
             blk_off.append(blk_off[-1] + len(blocks))
             if tokens:
-                tok_rows.extend(tokens)
+                for col, vals in zip(tok_cols, zip(*tokens)):
+                    col.extend(vals)
             if blocks:
-                blk_rows.extend(blocks)
-        # ONE C-level transpose per batch (a per-doc zip(*tokens) +
-        # 10 list.extend calls was ~10% of the stage)
-        tok_cols = list(zip(*tok_rows)) if tok_rows else [[]] * 10
-        blk_cols = list(zip(*blk_rows)) if blk_rows else [[]] * 4
+                for col, vals in zip(blk_cols, zip(*blocks)):
+                    col.extend(vals)
         yield pa.RecordBatch.from_arrays(
             [
                 batch.column("url"),

@@ -81,10 +81,17 @@ _QUANT = 1_000
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..scale import ensure_parallelism
+    """documents scan at size-derived parallelism: the text kernels here
+    cost ~constant work per input byte, so the decode_partitions rule
+    (one task per 32 KB compressed, clamp 2×cores) applies — a fixed
+    core-count fan-out paid ~32 task dispatches per tiny gate corpus.
+    The codec paths (pixels/av/multimodal) keep full ensure_parallelism:
+    their per-row work is huge regardless of byte size."""
+    from ..scale import decode_partitions, ensure_parallelism
 
     return ensure_parallelism(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        min_parts=decode_partitions(spark, sf_dir),
     )
 
 
@@ -636,6 +643,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
 
+    @nogc_batches
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             hs = [simhash64_py(simhash_tokens(t)) for t in pdf["text"]]
@@ -838,6 +846,7 @@ def clusters_from_edges(
         .cache()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).cache()
+    prev_sum = None
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -863,17 +872,23 @@ def clusters_from_edges(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.join(
-                labels.withColumnRenamed("label", "old"), "doc_id"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .count()
+        # Convergence via the label-sum invariant instead of a
+        # join-against-old-labels count (one cheap aggregate vs a full
+        # shuffle join per round — guide §2.4): every step takes a min,
+        # so each node's label is non-increasing and the sum strictly
+        # decreases unless the round was a no-op.  DECIMAL(38,0) keeps
+        # the sum exact at any corpus size (sum(long) could wrap at
+        # ~10^12 doc ids and alias a change as convergence).
+        new_sum = (
+            jumped.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
         )
         labels.unpersist()
         labels = jumped
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 

@@ -58,10 +58,19 @@ def embedding_dims(sf_dir: str) -> int | None:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..scale import ensure_parallelism
+    """embeddings scan at size-derived parallelism: the per-row work
+    here is a small integer matmul, so ~256 KB of compressed vectors per
+    task keeps tasks meaningful (a fixed core-count fan-out spread 2 000
+    fixture rows over 32 tasks — the repartition + dispatch overhead was
+    ~0.6 s per consumption, measured); clamps to 2×cores at scale."""
+    from ..scale import decode_partitions, ensure_parallelism
 
     df = ensure_parallelism(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        min_parts=decode_partitions(
+            spark, sf_dir, table="embeddings.parquet",
+            per_task_bytes=256 << 10,
+        ),
     )
     q = F.transform(
         F.col("embedding"),
@@ -464,10 +473,14 @@ def semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank with a distributed similarity-threshold cut (quantile of cos_r6
     per label), same output contract.
     """
-    from ..scale import ensure_parallelism
+    from ..scale import decode_partitions, ensure_parallelism
 
     df = ensure_parallelism(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        min_parts=decode_partitions(
+            spark, sf_dir, table="embeddings.parquet",
+            per_task_bytes=256 << 10,
+        ),
     )
     q = F.transform(
         F.col("embedding"),

@@ -36,10 +36,12 @@ SUBWORD_REGEX = r"[a-z]{1,4}|[A-Z][a-z]{0,3}|\d{1,4}|[^ \t\n\x0b\f\ra-zA-Z0-9]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..scale import ensure_parallelism
+    """documents scan at size-derived parallelism (see dedup._docs)."""
+    from ..scale import decode_partitions, ensure_parallelism
 
     return ensure_parallelism(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        min_parts=decode_partitions(spark, sf_dir),
     )
 
 
@@ -130,9 +132,14 @@ def host_stats(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     from ..corpus import build_web_pages
-    from ..scale import ensure_parallelism
+    from ..scale import decode_partitions
 
-    pages = ensure_parallelism(build_web_pages(spark, sf_dir))
+    # salt BEFORE the generation UDF (guide §8: move heavy bytes once —
+    # the old post-gen ensure_parallelism ran generation on the scan's
+    # single task and then shuffled the generated payload bytes)
+    pages = build_web_pages(
+        spark, sf_dir, partitions=decode_partitions(spark, sf_dir)
+    )
     total = pages.count()  # scalar job; at scale a cheap metadata count
     host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
     return (
@@ -296,9 +303,12 @@ def host_cap(spark, sf_dir: str):
     from pyspark.sql import Window as W, functions as F
 
     from ..corpus import build_web_pages
-    from ..scale import ensure_parallelism
+    from ..scale import decode_partitions
 
-    pages = ensure_parallelism(build_web_pages(spark, sf_dir))
+    # salt before the generation UDF (see host_stats)
+    pages = build_web_pages(
+        spark, sf_dir, partitions=decode_partitions(spark, sf_dir)
+    )
     host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
     w = W.partitionBy("host").orderBy(F.md5("url"), "url")
     return (

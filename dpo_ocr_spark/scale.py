@@ -38,7 +38,10 @@ DECODE_TASK_INPUT_BYTES = 32 << 10
 
 
 def decode_partitions(
-    spark: SparkSession, sf_dir: str, table: str = "documents.parquet"
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents.parquet",
+    per_task_bytes: int = DECODE_TASK_INPUT_BYTES,
 ) -> int:
     """Scale-adaptive salt-partition count for the gen→decode stage
     (guide §2: derive partitioning from input size, never a constant
@@ -67,7 +70,7 @@ def decode_partitions(
     cores = spark.sparkContext.defaultParallelism
     if not nbytes:
         return cores * 2  # unknown size: keep the balanced default
-    return max(1, min(cores * 2, -(-nbytes // DECODE_TASK_INPUT_BYTES)))
+    return max(1, min(cores * 2, -(-nbytes // per_task_bytes)))
 
 
 def salted_repartition(df: DataFrame, num_partitions: int, key: str = "url") -> DataFrame:
